@@ -1,0 +1,23 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Tests must run without TPU hardware; multi-chip sharding paths are exercised
+on a virtual 8-device CPU mesh. The harness exports JAX_PLATFORMS=axon (an
+experimental TPU plugin) which overrides the env-var route, so we must both
+drop the env var and set the config explicitly before anything uses jax.
+"""
+import os
+import sys
+
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ.pop("PALLAS_AXON_TPU_GEN", None)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

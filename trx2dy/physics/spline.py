@@ -1,0 +1,111 @@
+"""Batched natural cubic splines on a shared knot grid.
+
+The reference writes per-pair spline restraint text files and lets Rosetta's
+C++ SplineFunc interpolate them (folding/utils_ros/utils_ros.py:66-74 and the
+'SPLINE TAG' constraint lines). Here the same tables live as dense
+(L, L, n_knots) arrays: because every pair shares the same x-grid, the
+tridiagonal system for the second derivatives has a fixed matrix whose inverse
+is precomputed once, so fitting all L^2 splines is a single (L^2, n) x (n, n)
+matmul — MXU-friendly — and evaluation is a vectorized gather-free
+one-hot contraction.
+
+Out-of-range queries extrapolate linearly with the boundary slope, so distant
+pairs still feel a pull toward the restrained region.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class SplineTable(NamedTuple):
+    x: jnp.ndarray        # (n,) shared knots
+    y: jnp.ndarray        # (..., n) values
+    m: jnp.ndarray        # (..., n) second derivatives (natural BC)
+
+
+def _second_derivative_operator(x: np.ndarray) -> np.ndarray:
+    """(n, n) linear operator y -> M for a natural cubic spline on knots x."""
+    n = x.shape[0]
+    h = np.diff(x)
+    if n < 3:
+        return np.zeros((n, n))
+    # tridiagonal A (n-2, n-2) and rhs operator D (n-2, n)
+    A = np.zeros((n - 2, n - 2))
+    D = np.zeros((n - 2, n))
+    for i in range(1, n - 1):
+        r = i - 1
+        A[r, r] = (h[i - 1] + h[i]) / 3.0
+        if r > 0:
+            A[r, r - 1] = h[i - 1] / 6.0
+        if r < n - 3:
+            A[r, r + 1] = h[i] / 6.0
+        D[r, i - 1] = 1.0 / h[i - 1]
+        D[r, i] = -1.0 / h[i - 1] - 1.0 / h[i]
+        D[r, i + 1] = 1.0 / h[i]
+    op = np.zeros((n, n))
+    op[1:-1] = np.linalg.solve(A, D)
+    return op
+
+
+def fit_natural_cubic(x: np.ndarray, y: jnp.ndarray) -> SplineTable:
+    """Fit natural cubic splines for a batch of tables sharing knots x.
+
+    Args:
+      x: (n,) strictly increasing knots (host constant).
+      y: (..., n) values.
+    """
+    op = jnp.asarray(_second_derivative_operator(np.asarray(x, np.float64)),
+                     dtype=y.dtype)
+    m = jnp.einsum("...n,kn->...k", y, op,
+                   precision=jax.lax.Precision.HIGHEST)
+    return SplineTable(jnp.asarray(x, dtype=y.dtype), y, m)
+
+
+def evaluate_spline(table: SplineTable, q: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate batched splines at batched query points.
+
+    Args:
+      table: SplineTable with y/m of shape (..., n).
+      q: queries of shape (...,) matching the batch of the table.
+
+    Returns:
+      values of shape (...,).
+    """
+    x, y, m = table
+    n = x.shape[0]
+    # interval index in [0, n-2]
+    k = jnp.clip(jnp.sum(x[: n - 1] <= q[..., None], axis=-1) - 1, 0, n - 2)
+    oh_lo = jax.nn.one_hot(k, n, dtype=y.dtype)
+    oh_hi = jax.nn.one_hot(k + 1, n, dtype=y.dtype)
+
+    def sel(t, oh):
+        return jnp.sum(t * oh, axis=-1)
+
+    xk, xk1 = sel(jnp.broadcast_to(x, y.shape), oh_lo), sel(
+        jnp.broadcast_to(x, y.shape), oh_hi)
+    yk, yk1 = sel(y, oh_lo), sel(y, oh_hi)
+    mk, mk1 = sel(m, oh_lo), sel(m, oh_hi)
+    h = xk1 - xk
+    t = (q - xk) / h
+    u = 1.0 - t
+    h2 = h * h / 6.0
+    inside = (u * yk + t * yk1
+              + (u * u * u - u) * h2 * mk
+              + (t * t * t - t) * h2 * mk1)
+
+    # linear extrapolation with boundary slopes
+    h0 = x[1] - x[0]
+    hn = x[-1] - x[-2]
+    slope_lo = (y[..., 1] - y[..., 0]) / h0 - h0 * (
+        2.0 * m[..., 0] + m[..., 1]) / 6.0
+    slope_hi = (y[..., -1] - y[..., -2]) / hn + hn * (
+        m[..., -2] + 2.0 * m[..., -1]) / 6.0
+    below = y[..., 0] + slope_lo * (q - x[0])
+    above = y[..., -1] + slope_hi * (q - x[-1])
+    out = jnp.where(q < x[0], below, inside)
+    out = jnp.where(q > x[-1], above, out)
+    return out
