@@ -1,0 +1,234 @@
+"""Tests for the physics engine: splines, restraints, energy, L-BFGS, folder."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from trx2dy.physics.spline import fit_natural_cubic, evaluate_spline
+from trx2dy.physics.restraints import (
+    FoldParams, compile_restraints, restraint_masks, dist_knots,
+    torsion_knots, planar_knots,
+)
+from trx2dy.physics.energy import (
+    SCOREFXN_CENT, SCOREFXN_VDW, pose_energy, vdw_energy, rama_energy,
+)
+from trx2dy.physics.minimize import lbfgs_minimize
+from trx2dy.physics.folder import random_torsions, fold_ensemble
+
+REF_NPZ = "/root/reference/example/output/seq/pred_npz/seq_NMR.npz"
+
+
+def _rand_npz(L, key=0):
+    rng = np.random.default_rng(key)
+    def soft(shape):
+        x = rng.random(shape).astype(np.float32)
+        return x / x.sum(-1, keepdims=True)
+    return {"dist": soft((L, L, 37)), "omega": soft((L, L, 25)),
+            "theta": soft((L, L, 25)), "phi": soft((L, L, 13))}
+
+
+class TestSpline:
+    def test_interpolates_knots(self):
+        x = np.array([0.0, 1.0, 2.5, 3.0, 4.5])
+        y = jnp.asarray(np.sin(x))[None, :].repeat(3, 0)   # batch of 3 tables
+        t = fit_natural_cubic(x, y)
+        # one query per table: vmap over the 5 knot positions
+        vals = jax.vmap(
+            lambda q: evaluate_spline(t, jnp.full((3,), q)))(jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.tile(np.sin(x)[:, None], (1, 3)), atol=1e-5)
+
+    def test_matches_scipy_between_knots(self):
+        from scipy.interpolate import CubicSpline
+        x = np.linspace(0, 10, 12)
+        y = np.cos(x) + 0.1 * x
+        t = fit_natural_cubic(x, jnp.asarray(y))
+        q = np.linspace(0.3, 9.7, 41)
+        ours = np.asarray(evaluate_spline(t, jnp.asarray(q)))
+        ref = CubicSpline(x, y, bc_type="natural")(q)
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_linear_extrapolation(self):
+        x = np.array([0.0, 1.0, 2.0, 3.0])
+        y = jnp.asarray([0.0, 1.0, 2.0, 3.0])  # straight line
+        t = fit_natural_cubic(x, y)
+        out = evaluate_spline(t, jnp.asarray([-2.0, 5.0]))
+        np.testing.assert_allclose(np.asarray(out), [-2.0, 5.0], atol=1e-4)
+
+
+class TestRestraints:
+    def test_knot_grids(self):
+        p = FoldParams()
+        xd = dist_knots(p)
+        assert xd.shape == (35,)
+        np.testing.assert_allclose(xd[:3], [0.0, 2.0, 3.5])
+        np.testing.assert_allclose(xd[3], 4.25)
+        np.testing.assert_allclose(xd[-1], 19.75)
+        assert torsion_knots(p).shape == (28,)
+        assert planar_knots(p).shape == (16,)
+
+    def test_dist_table_matches_reference_formula(self):
+        npz = _rand_npz(8)
+        p = FoldParams()
+        rst = compile_restraints(npz, p)
+        # re-derive one pair with the reference's exact numpy expressions
+        # (folding/utils_ros/utils_ros.py:54-61)
+        dist = npz["dist"]
+        bins = np.array([4.25 + 0.5 * i for i in range(32)])
+        bkgr = (bins / p.DCUT) ** p.ALPHA
+        attr = -np.log(
+            (dist[:, :, 5:] + p.MEFF)
+            / (dist[:, :, -1][:, :, None] * bkgr[None, None, :] + 1e-6)
+        ) + p.EBASE
+        repul = np.maximum(attr[:, :, 0], 0)[:, :, None] + np.array(p.EREP)
+        expected = np.concatenate([repul, attr], axis=-1)
+        np.testing.assert_allclose(np.asarray(rst.dist.y), expected,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_torsion_table_padding(self):
+        npz = _rand_npz(6)
+        p = FoldParams()
+        rst = compile_restraints(npz, p)
+        omega = npz["omega"]
+        y = -np.log((omega + p.MEFF) / (omega[:, :, -1] + p.MEFF)[:, :, None])
+        expected = np.concatenate([y[:, :, -2:], y[:, :, 1:], y[:, :, 1:3]],
+                                  axis=-1)
+        np.testing.assert_allclose(np.asarray(rst.omega.y), expected,
+                                   rtol=2e-5, atol=2e-5)
+        assert rst.omega.y.shape[-1] == 28
+
+    def test_phi_reflect_padding(self):
+        npz = _rand_npz(6)
+        p = FoldParams()
+        rst = compile_restraints(npz, p)
+        phi = npz["phi"]
+        y = -np.log((phi + p.MEFF) / (phi[:, :, -1] + p.MEFF)[:, :, None])
+        expected = np.concatenate(
+            [np.flip(y[:, :, 1:3], -1), y[:, :, 1:], np.flip(y[:, :, -2:], -1)],
+            axis=-1)
+        np.testing.assert_allclose(np.asarray(rst.phi.y), expected,
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_masks_sep_and_cutoffs(self):
+        npz = _rand_npz(12)
+        npz["dist"][:, :, 5:] = 1.0 / 32  # prob = 1 everywhere
+        npz["dist"][:, :, :5] = 0.0
+        rst = compile_restraints(npz, FoldParams())
+        m = restraint_masks(rst, "A" * 12, 3, 6, pcut=0.05)
+        md = np.asarray(m.dist)
+        idx = np.arange(12)
+        sep = np.abs(idx[:, None] - idx[None, :])
+        assert (md == ((sep >= 3) & (sep < 6) & (idx[:, None] < idx[None, :]))).all()
+        # omega/theta need prob >= 0.55: random histos rarely reach that
+        assert np.asarray(m.omega).sum() <= np.asarray(m.dist).sum()
+
+    def test_nogly_excludes_glycine_pairs(self):
+        npz = _rand_npz(6)
+        npz["dist"][:, :, 5:] = 1.0
+        rst = compile_restraints(npz, FoldParams())
+        m = restraint_masks(rst, "AGAAGA", 1, 6, pcut=0.0, nogly=True)
+        md = np.asarray(m.dist)
+        assert md[1].sum() == 0 and md[:, 1].sum() == 0
+        assert md[4].sum() == 0 and md[:, 4].sum() == 0
+
+
+class TestEnergy:
+    def test_gradient_finite_at_random_init(self):
+        L = 16
+        npz = _rand_npz(L)
+        rst = compile_restraints(npz, FoldParams())
+        masks = restraint_masks(rst, "A" * L, 1, L, pcut=0.0)
+        t = random_torsions(jax.random.PRNGKey(0), L, 1)[0]
+        g = jax.grad(lambda x: pose_energy(x, rst, masks, SCOREFXN_CENT))(t)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_gradient_matches_finite_difference(self):
+        L = 10
+        npz = _rand_npz(L)
+        rst = compile_restraints(npz, FoldParams())
+        masks = restraint_masks(rst, "A" * L, 1, L, pcut=0.0)
+        f = lambda x: pose_energy(x, rst, masks, SCOREFXN_CENT)
+        t = random_torsions(jax.random.PRNGKey(3), L, 1)[0].astype(jnp.float64) \
+            if jax.config.read("jax_enable_x64") else \
+            random_torsions(jax.random.PRNGKey(3), L, 1)[0]
+        g = np.asarray(jax.grad(f)(t))
+        eps = 1e-3
+        for (i, j) in [(0, 3), (1, 5), (2, 2)]:
+            tp = t.at[i, j].add(eps)
+            tm = t.at[i, j].add(-eps)
+            fd = (float(f(tp)) - float(f(tm))) / (2 * eps)
+            assert abs(fd - g[i, j]) < 2e-2 * (1 + abs(fd)), (i, j, fd, g[i, j])
+
+    def test_vdw_zero_when_extended(self):
+        # fully extended chain: no |i-j|>=2 backbone clashes
+        L = 12
+        t = jnp.stack([jnp.full((L,), -2.5), jnp.full((L,), 2.5),
+                       jnp.full((L,), jnp.pi)])
+        from trx2dy.geometry.nerf import build_backbone
+        atoms = build_backbone(t[0], t[1], t[2])
+        assert float(vdw_energy(atoms)) < 1e-3
+
+    def test_rama_prefers_helix_basin(self):
+        L = 10
+        helix = rama_energy(jnp.full((L,), jnp.deg2rad(-61.0)),
+                            jnp.full((L,), jnp.deg2rad(-41.0)))
+        bad = rama_energy(jnp.full((L,), jnp.deg2rad(80.0)),
+                          jnp.full((L,), jnp.deg2rad(-120.0)))
+        assert float(helix) < float(bad)
+
+
+class TestLBFGS:
+    def test_rosenbrock_batch(self):
+        def rosen(x):
+            return jnp.sum(100.0 * (x[:, 1:] - x[:, :-1] ** 2) ** 2
+                           + (1 - x[:, :-1]) ** 2, axis=-1)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (6, 8)) * 0.5
+        res = lbfgs_minimize(rosen, x0, max_iter=2000, tol=0.0)
+        assert np.asarray(res.f).max() < 1e-6
+
+    def test_freeze_respected(self):
+        def quad(x):
+            return jnp.sum(x * x, axis=-1)
+        x0 = jnp.ones((4, 5))
+        freeze = jnp.array([True, False, True, False])
+        res = lbfgs_minimize(quad, x0, max_iter=100, freeze=freeze)
+        x = np.asarray(res.x)
+        np.testing.assert_allclose(x[0], 1.0)
+        np.testing.assert_allclose(x[2], 1.0)
+        assert np.abs(x[1]).max() < 1e-3 and np.abs(x[3]).max() < 1e-3
+
+    def test_tolerance_stops_early(self):
+        def quad(x):
+            return jnp.sum(x * x, axis=-1)
+        x0 = jnp.full((2, 4), 3.0)
+        res = lbfgs_minimize(quad, x0, max_iter=500, tol=1e-4)
+        assert int(res.n_iter) < 100
+
+
+class TestFolder:
+    def test_small_fold_runs_and_is_finite(self):
+        L = 24
+        npz = _rand_npz(L, key=7)
+        seq = "ARNDCQEGHILKMFPSTWYVARND"
+        res = fold_ensemble(npz, seq, jax.random.PRNGKey(0), n_decoys=2,
+                            max_iter=30, fastrelax=False)
+        assert res.torsions.shape == (2, 3, L)
+        for a in ("N", "CA", "C", "O", "CB"):
+            assert np.isfinite(np.asarray(res.atoms[a])).all()
+        ca = np.asarray(res.atoms["CA"])
+        d = np.linalg.norm(np.diff(ca, axis=1), axis=-1)
+        assert (d < 4.2).all() and (d > 2.7).all()  # chain connectivity
+
+    @pytest.mark.skipif(not os.path.exists(REF_NPZ),
+                        reason="reference example not mounted")
+    def test_golden_npz_fold_improves_energy(self):
+        npz = dict(np.load(REF_NPZ))
+        from trx2dy.io.a3m import read_fasta
+        seq = read_fasta("/root/reference/example/seq.fasta")
+        x0 = random_torsions(jax.random.PRNGKey(5), len(seq), 1)
+        res = fold_ensemble(npz, seq, jax.random.PRNGKey(5), n_decoys=1,
+                            max_iter=150, fastrelax=False)
+        # folded energy must be far below any random-coil value
+        assert float(res.energy[0]) < -1e5

@@ -45,7 +45,9 @@ def bond_angle(a, b, c) -> jnp.ndarray:
     """Planar angle a-b-c in radians, in [0, pi] (reference utils.py:113-122)."""
     v = _normalize(a - b)
     w = _normalize(c - b)
-    cos = jnp.clip(jnp.sum(v * w, axis=-1), -1.0, 1.0)
+    # clip strictly inside (-1, 1): arccos' cotangent is inf at the endpoints
+    # and would poison gradients of downstream jnp.where-masked energies
+    cos = jnp.clip(jnp.sum(v * w, axis=-1), -1.0 + 1e-7, 1.0 - 1e-7)
     return jnp.arccos(cos)
 
 

@@ -1,0 +1,209 @@
+"""The restrained-minimization folder: npz histograms -> 3D decoy ensemble.
+
+TPU-native replacement for the reference's PyRosetta pipeline
+(folding/folding.py:32-281). One call folds the ENTIRE decoy ensemble as a
+single XLA program: the batch axis replaces the reference's one-subprocess-
+per-decoy fan-out (utils_trX2dy/utils.py:484-505), torsion-space NeRF
+replaces pose internal coordinates, dense spline tables replace constraint
+files, and batched L-BFGS replaces the MinMover.
+
+Protocol (mode 2, the Dynamics default "-m 2 -r no-idp --orient"):
+  1. random Ramachandran-basin torsion init, omega=180 deg
+     (utils_ros.py:656-696 set_random_dihedral/random_dihedral);
+  2. clash removal: <=5 rounds of vdw-only minimization while vdw score >= 10
+     (utils_ros.py:699-703 remove_clash);
+  3. restraints added for 1 <= |i-j| < L, then 3x L-BFGS(1000) on the
+     centroid score function (RepeatMover(min_mover, 3), folding.py:105,168);
+  4. a refinement pass on the cartesian-flavour weights (hbond terms on) —
+     the torsion-space stand-in for min_mover_cart (folding.py:169; bonds and
+     angles are ideal by construction so cart_bonded is identically 0);
+  5. clash removal minimizing scorefxn1 (folding.py:170);
+  6. FastRelax substitute (folding.py:189-268): two rounds of restrained
+     minimization with the relax constraint weights (5/1/1), restraint
+     probability cutoffs 0.15 then 0.30, glycine pairs excluded (nogly).
+
+Modes 0/1 stage the restraints by sequence separation (short 1-12 /
+medium 12-24 / long 24+, folding.py:125-162) with CUMULATIVE masks —
+Rosetta's add_rst appends to the constraint set.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trx2dy.geometry.nerf import build_backbone
+from trx2dy.physics.energy import (
+    EnergyWeights, SCOREFXN_CENT, SCOREFXN1, SCOREFXN_VDW, SCOREFXN_CART,
+    pose_energy,
+)
+from trx2dy.physics.restraints import (
+    FoldParams, RestraintSet, RestraintMasks, compile_restraints,
+    restraint_masks,
+)
+from trx2dy.physics.minimize import lbfgs_minimize
+
+# FastRelax's score function: ref2015_cart + constraint weights 5/1/1
+# (folding.py:200-204). Torsion-space substitute keeps the centroid terms.
+SCOREFXN_RELAX = EnergyWeights(hbond_sr=3.0, hbond_lr=3.0, rama=1.0,
+                               omega=0.5, vdw=0.5,
+                               atom_pair=5.0, dihedral=1.0, angle=1.0)
+
+CLASH_SCORE_CUTOFF = 10.0   # remove_clash threshold (utils_ros.py:699-703)
+CLASH_ROUNDS = 5
+
+# Ramachandran basin table + cumulative probabilities (utils_ros.py:674-696)
+_BASIN_PHI = np.deg2rad([-140.0, -72.0, -122.0, -82.0, -61.0, 57.0])
+_BASIN_PSI = np.deg2rad([153.0, 145.0, 117.0, -14.0, -41.0, 39.0])
+_BASIN_P = np.array([0.135, 0.155, 0.073, 0.122, 0.497, 0.018])
+
+
+class FoldResult(NamedTuple):
+    torsions: jnp.ndarray    # (B, 3, L) final [phi; psi; omega]
+    energy: jnp.ndarray      # (B,) final centroid score
+    atoms: dict              # atom -> (B, L, 3)
+
+
+def random_torsions(key: jax.Array, L: int, n_decoys: int) -> jnp.ndarray:
+    """(B, 3, L) random basin-sampled (phi, psi) with omega = pi."""
+    basin = jax.random.choice(key, 6, shape=(n_decoys, L),
+                              p=jnp.asarray(_BASIN_P))
+    phi = jnp.asarray(_BASIN_PHI, jnp.float32)[basin]
+    psi = jnp.asarray(_BASIN_PSI, jnp.float32)[basin]
+    omg = jnp.full((n_decoys, L), jnp.pi, jnp.float32)
+    return jnp.stack([phi, psi, omg], axis=1)
+
+
+def _batch_energy(w: EnergyWeights):
+    """(B, 3L) flattened torsions -> (B,) energies, for a static weight set."""
+    def fn(x, rst, masks):
+        B = x.shape[0]
+        t = x.reshape(B, 3, -1)
+        return jax.vmap(pose_energy, in_axes=(0, None, None, None))(
+            t, rst, masks, w)
+    return fn
+
+
+def _stage_masks_centroid(rst: RestraintSet, seq: str, mode: int,
+                          pcut: float) -> Sequence[RestraintMasks]:
+    """Cumulative per-stage restraint masks for the centroid phase."""
+    L = len(seq)
+    if mode == 0:
+        ranges = [(1, 12), (12, 24), (24, L)]
+    elif mode == 1:
+        ranges = [(3, 24), (24, L)]
+    elif mode == 2:
+        ranges = [(1, L)]
+    else:
+        raise ValueError(f"mode {mode} not supported (0/1/2)")
+    stages = []
+    cum = None
+    for (s1, s2) in ranges:
+        m = restraint_masks(rst, seq, s1, s2, pcut=pcut)
+        if cum is None:
+            cum = m
+        else:
+            cum = RestraintMasks(*(a | b for a, b in zip(cum, m)))
+        stages.append(cum)
+    return stages
+
+
+def _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
+              n_centroid_stages: int, fastrelax: bool, max_iter: int):
+    """The full staged protocol as one traced program.
+
+    stage_masks is a pytree of stacked (n_stages, ...) masks so the stage
+    count is static while mask *contents* stay data (no recompiles across
+    dynamics iterations).
+    """
+    e_vdw = _batch_energy(SCOREFXN_VDW)
+    e_cent = _batch_energy(SCOREFXN_CENT)
+    e_cart = _batch_energy(SCOREFXN_CART)
+    e_sf1 = _batch_energy(SCOREFXN1)
+    e_relax = _batch_energy(SCOREFXN_RELAX)
+    empty = jax.tree.map(lambda m: jnp.zeros_like(m[0]), stage_masks)
+
+    def remove_clash(x, min_fun, masks, iters):
+        def rnd(_, x):
+            freeze = e_vdw(x, rst, empty) < CLASH_SCORE_CUTOFF
+            return lbfgs_minimize(lambda xx: min_fun(xx, rst, masks), x,
+                                  max_iter=iters, freeze=freeze).x
+        return jax.lax.fori_loop(0, CLASH_ROUNDS, rnd, x)
+
+    x = remove_clash(x0, e_vdw, empty, 500)
+
+    for s in range(n_centroid_stages):
+        masks = jax.tree.map(lambda m, s=s: m[s], stage_masks)
+        for _ in range(3):                      # RepeatMover(min_mover, 3)
+            x = lbfgs_minimize(lambda xx: e_cent(xx, rst, masks), x,
+                               max_iter=max_iter).x
+        x = lbfgs_minimize(lambda xx: e_cart(xx, rst, masks), x,
+                           max_iter=max_iter).x
+        x = remove_clash(x, e_sf1, masks, max_iter)
+
+    if fastrelax:
+        x = lbfgs_minimize(lambda xx: e_relax(xx, rst, relax1_masks), x,
+                           max_iter=max_iter).x
+        x = lbfgs_minimize(lambda xx: e_relax(xx, rst, relax2_masks), x,
+                           max_iter=max_iter).x
+
+    final_masks = jax.tree.map(lambda m: m[n_centroid_stages - 1], stage_masks)
+    f = e_cent(x, rst, final_masks)
+    return x, f
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_centroid_stages", "fastrelax",
+                                    "max_iter"))
+def _protocol_jit(x0, rst, stage_masks, relax1_masks, relax2_masks,
+                  n_centroid_stages, fastrelax, max_iter):
+    return _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
+                     n_centroid_stages, fastrelax, max_iter)
+
+
+def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
+                  mode: int = 2, use_orient: bool = True,
+                  fastrelax: bool = True, pcut: Optional[float] = None,
+                  params: FoldParams = FoldParams(), max_iter: int = 1000,
+                  x0: Optional[jnp.ndarray] = None) -> FoldResult:
+    """Fold an ensemble of decoys from predicted geometry histograms.
+
+    Args:
+      npz: dict with 'dist' (+ 'omega'/'theta'/'phi' when use_orient).
+      seq: one-letter sequence (GLY handled like the reference's G->A
+        mutation: the virtual CB stands in during minimization).
+      key: PRNG key; one independent torsion init per decoy.
+      n_decoys: ensemble size — the vmapped batch axis (headline config:
+        init_num=50 decoys per target on one chip, BASELINE.json).
+      mode/use_orient/fastrelax/pcut: reference CLI semantics
+        (-m / --orient / --fastrelax / -pd, utils_ros/arguments.py:11-30).
+
+    Returns FoldResult with final torsions, centroid energies, and atoms.
+    """
+    L = len(seq)
+    if np.asarray(npz["dist"]).shape[0] != L:
+        raise ValueError(
+            f"sequence length {L} does not match npz geometry maps "
+            f"{np.asarray(npz['dist']).shape[:2]}")
+    pcut = params.PCUT if pcut is None else pcut
+    rst = compile_restraints(npz, params, use_orient=use_orient)
+
+    stages = _stage_masks_centroid(rst, seq, mode, pcut)
+    stacked = jax.tree.map(lambda *ms: jnp.stack(ms), *stages)
+    relax1 = restraint_masks(rst, seq, 1, L, pcut=0.15, nogly=True)
+    relax2 = restraint_masks(rst, seq, 1, L, pcut=0.30, nogly=True)
+
+    if x0 is None:
+        x0 = random_torsions(key, L, n_decoys)
+    x0 = x0.reshape(x0.shape[0], 3 * L)
+
+    x, f = _protocol_jit(x0, rst, stacked, relax1, relax2,
+                         n_centroid_stages=len(stages), fastrelax=fastrelax,
+                         max_iter=max_iter)
+
+    t = x.reshape(-1, 3, L)
+    atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
+    return FoldResult(torsions=t, energy=f, atoms=atoms)

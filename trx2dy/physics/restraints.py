@@ -1,0 +1,206 @@
+"""Restraint compilation: predicted histograms -> dense spline energy tables.
+
+TPU-native replacement for the reference's text-file spline restraints
+(folding/utils_ros/utils_ros.py:6-146 gen_rst): instead of writing one
+Rosetta ``SPLINE`` file per residue pair and letting C++ interpolate, the
+-log-ratio energy tables for *all* pairs live as dense ``(L, L, n_knots)``
+arrays and are fitted as natural cubic splines in one batched matmul
+(trx2dy.physics.spline). Evaluation of every restraint of one geometry type
+is then a single vectorized spline lookup over the ``(L, L)`` geometry maps —
+no gather/scatter, MXU/VPU-friendly, and identical maths:
+
+  dist  (utils_ros.py:54-75):
+      knots  = [0.0, 2.0, 3.5] ++ [4.25 + 0.5 k, k=0..31]           (35)
+      attr_k = -log((p_k + MEFF) / (p_last * (x_k/DCUT)^ALPHA + 1e-6)) + EBASE
+      repul  = max(attr_0, 0) + EREP                                 (3 knots)
+      active: sum(p[5:]) > PCUT, j > i
+  omega (utils_ros.py:77-97):  knots linspace(-pi-1.5A, pi+1.5A, 28),
+      y = -log((p+MEFF)/(p_last+MEFF)); pad [y[-2:], y[1:], y[1:3]]
+      active: sum(p[1:]) > PCUT(+0.5 at add time), j > i
+  theta (utils_ros.py:99-119): same tables, active j != i
+  phi   (utils_ros.py:121-144): knots linspace(-1.5A, pi+1.5A, 16),
+      pad [flip(y[1:3]), y[1:], flip(y[-2:])]; active j != i, +0.6 offset
+
+Restraint *selection* (probability cutoffs, sequence-separation staging,
+no-glycine filtering — utils_ros.py:706-743 add_rst) is expressed as boolean
+(L, L) masks computed by :func:`restraint_masks`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from trx2dy.physics.spline import SplineTable, fit_natural_cubic, evaluate_spline
+
+
+class FoldParams(NamedTuple):
+    """Numeric parameters of folding/data/params.json (keys kept verbatim)."""
+    PCUT: float = 0.05
+    PCUT1: float = 0.5
+    EBASE: float = -0.5
+    EREP: tuple = (10.0, 3.0, 0.5)
+    DREP: tuple = (0.0, 2.0, 3.5)
+    PREP: float = 0.1
+    SIGD: float = 10.0
+    SIGM: float = 1.0
+    MEFF: float = 1e-4
+    DCUT: float = 19.5
+    ALPHA: float = 1.57
+    DSTEP: float = 0.5
+    ASTEP: float = 15.0  # degrees
+
+
+class RestraintSet(NamedTuple):
+    """Dense spline tables + activation probabilities for one npz."""
+    dist: SplineTable      # y/m: (L, L, 35)
+    dist_prob: jnp.ndarray  # (L, L) = sum(p[5:])
+    omega: SplineTable     # (L, L, 28)
+    omega_prob: jnp.ndarray
+    theta: SplineTable     # (L, L, 28)
+    theta_prob: jnp.ndarray
+    phi: SplineTable       # (L, L, 16)
+    phi_prob: jnp.ndarray
+
+
+def dist_knots(p: FoldParams = FoldParams()) -> np.ndarray:
+    return np.concatenate([np.asarray(p.DREP),
+                           4.25 + p.DSTEP * np.arange(32)])
+
+
+def torsion_knots(p: FoldParams = FoldParams()) -> np.ndarray:
+    a = np.deg2rad(p.ASTEP)
+    return np.linspace(-np.pi - 1.5 * a, np.pi + 1.5 * a, 28)
+
+
+def planar_knots(p: FoldParams = FoldParams()) -> np.ndarray:
+    a = np.deg2rad(p.ASTEP)
+    return np.linspace(-1.5 * a, np.pi + 1.5 * a, 16)
+
+
+def compile_restraints(npz: dict, params: FoldParams = FoldParams(),
+                       use_orient: bool = True) -> RestraintSet:
+    """Build dense spline energy tables from a predicted-geometry npz dict.
+
+    Args:
+      npz: dict with 'dist' (L,L,37) and, when use_orient, 'omega'/'theta'
+        (L,L,25) and 'phi' (L,L,13) softmaxed histograms (numpy or jax).
+      params: folding parameters (defaults = folding/data/params.json).
+
+    Returns:
+      RestraintSet. When use_orient is False the angle tables are zero-energy
+      (flat splines) with zero probabilities, so their masks never activate.
+    """
+    p = params
+    dist = np.asarray(npz["dist"], dtype=np.float32)
+    L = dist.shape[0]
+
+    # ---- dist ----------------------------------------------------- 35 knots
+    xk = dist_knots(p)
+    bins = xk[3:]                               # 4.25 .. 19.75
+    bkgr = (bins / p.DCUT) ** p.ALPHA
+    attr = (-np.log((dist[:, :, 5:] + p.MEFF)
+                    / (dist[:, :, -1][:, :, None] * bkgr[None, None, :] + 1e-6))
+            + p.EBASE)
+    repul = np.maximum(attr[:, :, 0], 0.0)[:, :, None] + np.asarray(p.EREP)
+    ydist = np.concatenate([repul, attr], axis=-1).astype(np.float32)
+    dist_prob = dist[:, :, 5:].sum(-1)
+
+    def _fit(x, y):
+        return fit_natural_cubic(x, jnp.asarray(y))
+
+    if use_orient:
+        omega = np.asarray(npz["omega"], dtype=np.float32)
+        theta = np.asarray(npz["theta"], dtype=np.float32)
+        phi = np.asarray(npz["phi"], dtype=np.float32)
+
+        def torsion_table(t):
+            y = -np.log((t + p.MEFF) / (t[:, :, -1] + p.MEFF)[:, :, None])
+            return np.concatenate(
+                [y[:, :, -2:], y[:, :, 1:], y[:, :, 1:3]], axis=-1
+            ).astype(np.float32)
+
+        yomega = torsion_table(omega)
+        ytheta = torsion_table(theta)
+
+        yphi_raw = -np.log((phi + p.MEFF) / (phi[:, :, -1] + p.MEFF)[:, :, None])
+        yphi = np.concatenate(
+            [np.flip(yphi_raw[:, :, 1:3], axis=-1), yphi_raw[:, :, 1:],
+             np.flip(yphi_raw[:, :, -2:], axis=-1)], axis=-1
+        ).astype(np.float32)
+
+        omega_prob = omega[:, :, 1:].sum(-1)
+        theta_prob = theta[:, :, 1:].sum(-1)
+        phi_prob = phi[:, :, 1:].sum(-1)
+    else:
+        yomega = np.zeros((L, L, 28), np.float32)
+        ytheta = np.zeros((L, L, 28), np.float32)
+        yphi = np.zeros((L, L, 16), np.float32)
+        omega_prob = theta_prob = phi_prob = np.full((L, L), -1.0, np.float32)
+
+    return RestraintSet(
+        dist=_fit(xk, ydist), dist_prob=jnp.asarray(dist_prob),
+        omega=_fit(torsion_knots(p), yomega), omega_prob=jnp.asarray(omega_prob),
+        theta=_fit(torsion_knots(p), ytheta), theta_prob=jnp.asarray(theta_prob),
+        phi=_fit(planar_knots(p), yphi), phi_prob=jnp.asarray(phi_prob),
+    )
+
+
+class RestraintMasks(NamedTuple):
+    """Active (L, L) boolean masks per geometry type for one protocol stage."""
+    dist: jnp.ndarray
+    omega: jnp.ndarray
+    theta: jnp.ndarray
+    phi: jnp.ndarray
+
+
+def restraint_masks(rst: RestraintSet, seq: str, sep1: int, sep2: int,
+                    pcut: float = 0.05, nogly: bool = False) -> RestraintMasks:
+    """Boolean restraint-activation masks, reference add_rst semantics
+    (utils_ros.py:706-743): sep1 <= |i-j| < sep2; prob >= pcut (+0.5 for
+    omega/theta, +0.6 for phi); dist/omega upper-triangle only; optional
+    glycine exclusion (relax stages run on the real sequence where GLY has no
+    CB, folding.py:218-229)."""
+    L = rst.dist_prob.shape[0]
+    idx = np.arange(L)
+    sep = np.abs(idx[:, None] - idx[None, :])
+    sep_ok = (sep >= sep1) & (sep < sep2)
+    upper = idx[:, None] < idx[None, :]
+    offdiag = idx[:, None] != idx[None, :]
+    if nogly:
+        isg = np.frombuffer(seq.encode(), dtype=np.uint8) == ord("G")
+        pair_ok = ~(isg[:, None] | isg[None, :])
+        sep_ok = sep_ok & pair_ok
+    sep_ok = jnp.asarray(sep_ok)
+    upper = jnp.asarray(upper)
+    offdiag = jnp.asarray(offdiag)
+    return RestraintMasks(
+        dist=sep_ok & upper & (rst.dist_prob >= pcut),
+        omega=sep_ok & upper & (rst.omega_prob >= pcut + 0.5),
+        theta=sep_ok & offdiag & (rst.theta_prob >= pcut + 0.5),
+        phi=sep_ok & offdiag & (rst.phi_prob >= pcut + 0.6),
+    )
+
+
+def restraint_energy(rst: RestraintSet, masks: RestraintMasks,
+                     dist, omega, theta, phi,
+                     w_atom_pair: float, w_dihedral: float, w_angle: float):
+    """Total restraint energy of one conformation's dense geometry maps.
+
+    Args:
+      dist/omega/theta/phi: (L, L) geometry maps (no contact cutoff — spline
+        extrapolation handles long range, like Rosetta does).
+      w_*: constraint-type weights from the score function
+        (atom_pair_constraint / dihedral_constraint / angle_constraint,
+        folding/data/scorefxn.wts).
+    """
+    e = w_atom_pair * jnp.sum(
+        jnp.where(masks.dist, evaluate_spline(rst.dist, dist), 0.0))
+    e += w_dihedral * jnp.sum(
+        jnp.where(masks.omega, evaluate_spline(rst.omega, omega), 0.0))
+    e += w_dihedral * jnp.sum(
+        jnp.where(masks.theta, evaluate_spline(rst.theta, theta), 0.0))
+    e += w_angle * jnp.sum(
+        jnp.where(masks.phi, evaluate_spline(rst.phi, phi), 0.0))
+    return e
