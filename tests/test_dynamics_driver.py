@@ -1,0 +1,183 @@
+"""Tests for the Dynamics loop, driver file contracts, and analysis CLIs."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from trx2dy.dynamics.loop import (
+    GeomHistograms, histograms_from_npz, histograms_to_npz, measure_decoy,
+    dampen_step, reliability_score, convergence_delta,
+)
+from trx2dy.dynamics.driver import (
+    DynamicsConfig, generate_ensemble, flatten_directory, rename_to_conf,
+    run_single,
+)
+
+
+def _rand_npz(L, key=0):
+    rng = np.random.default_rng(key)
+    def soft(shape):
+        x = rng.random(shape).astype(np.float32)
+        return x / x.sum(-1, keepdims=True)
+    return {"dist": soft((L, L, 37)), "omega": soft((L, L, 25)),
+            "theta": soft((L, L, 25)), "phi": soft((L, L, 13))}
+
+
+class TestLoop:
+    def test_histograms_roundtrip(self):
+        npz = _rand_npz(6)
+        h = histograms_from_npz(npz)
+        out = histograms_to_npz(h)
+        np.testing.assert_allclose(out["dist"], npz["dist"])
+        np.testing.assert_allclose(out["tmp"], npz["dist"])  # tmp defaults
+
+    def test_measure_decoy_onehot(self):
+        L = 20
+        rng = np.random.default_rng(1)
+        ca = jnp.asarray(np.cumsum(
+            3.8 * rng.normal(size=(L, 3)) /
+            np.linalg.norm(rng.normal(size=(L, 3)), axis=-1, keepdims=True),
+            axis=0), jnp.float32)
+        n = ca + jnp.asarray([1.4, 0, 0])
+        c = ca + jnp.asarray([0, 1.5, 0])
+        cb = ca + jnp.asarray([0, 0, 1.5])
+        fact = measure_decoy(n, ca, c, cb)
+        for k, nb in [("dist", 37), ("omega", 25), ("theta", 25), ("phi", 13)]:
+            f = np.asarray(fact[k])
+            assert f.shape == (L, L, nb)
+            s = f.sum(-1)
+            assert ((s == 0) | (s == 1)).all()   # one-hot or empty
+
+    def test_dampen_step_suppresses_realized_bin(self):
+        L = 8
+        h = histograms_from_npz(_rand_npz(L, key=2))
+        # realized bins: everything in bin 10
+        fact = {k: jnp.zeros_like(getattr(h, k)).at[:, :, 10].set(1.0)
+                for k in ("dist", "omega", "theta", "phi")}
+        new = dampen_step(h, fact)
+        # tmp channel: decayed where max<P and bin10 >= pcut
+        old_tmp = np.asarray(h.tmp)
+        new_tmp = np.asarray(new.tmp)
+        mask = old_tmp.max(-1) < 0.5
+        decay_expected = mask & (old_tmp[:, :, 10] >= 0.05)
+        np.testing.assert_allclose(
+            new_tmp[decay_expected][:, 10],
+            old_tmp[decay_expected][:, 10] * 0.5, rtol=1e-6)
+        # normalized channels stay distributions on masked pairs
+        s = np.asarray(new.dist).sum(-1)
+        np.testing.assert_allclose(s[mask], 1.0, atol=1e-4)
+
+    def test_reliability_score(self):
+        L = 10
+        t = jnp.zeros((3, L)).at[0].set(jnp.deg2rad(-60.0))
+        assert float(reliability_score(t)) == 1.0
+        t_bad = jnp.zeros((3, L)).at[0].set(jnp.deg2rad(60.0))
+        assert float(reliability_score(t_bad)) == 0.0
+
+    def test_convergence_delta(self):
+        h1 = histograms_from_npz(_rand_npz(5, key=3))
+        h2 = h1._replace(tmp=h1.tmp + 0.25)
+        assert abs(convergence_delta(h1, h2) - 0.25) < 1e-6
+
+
+class TestRename:
+    def _touch(self, d, names):
+        for n in names:
+            open(os.path.join(d, n), "w").write("x")
+
+    def test_initial_and_iteration_renaming(self, tmp_path):
+        d = str(tmp_path)
+        self._touch(d, ["initial0.pdb", "initial1.pdb", "initial0_1.pdb",
+                        "seq1.pdb", "seq2.pdb", "seq3.pdb"])
+        rename_to_conf(d, num_conf1_others=2)
+        files = sorted(os.listdir(d))
+        # initial0/1 -> conf_1_1/2; initial0_1 -> conf_2_1;
+        # 2 others -> conf_1_3, conf_1_4; last -> conf_2_2
+        assert files == ["conf_1_1.pdb", "conf_1_2.pdb", "conf_1_3.pdb",
+                         "conf_1_4.pdb", "conf_2_1.pdb", "conf_2_2.pdb"]
+
+    def test_flatten(self, tmp_path):
+        d = str(tmp_path)
+        os.makedirs(os.path.join(d, "NMR"))
+        os.makedirs(os.path.join(d, "Xray"))
+        self._touch(os.path.join(d, "NMR"), ["initial0.pdb"])
+        self._touch(os.path.join(d, "Xray"), ["initial0.pdb"])
+        flatten_directory(d)
+        files = sorted(os.listdir(d))
+        assert files == ["initial0.pdb", "initial0_1.pdb"]
+
+
+class TestDriver:
+    def test_generate_ensemble_contract(self, tmp_path):
+        L = 20
+        seq = "ARNDCQEGHILKMFPSTWYV"
+        npz = _rand_npz(L, key=5)
+        cfg = DynamicsConfig(init_num=2, Nmax=1, max_iter=15, fastrelax=False)
+        npz_dir = str(tmp_path / "tmp_npz")
+        pdb_dir = str(tmp_path / "pred_pdb")
+        last = generate_ensemble("t", npz_dir, pdb_dir, npz, seq, cfg,
+                                 jax.random.PRNGKey(0))
+        assert last >= 1
+        assert os.path.exists(os.path.join(pdb_dir, "initial0.pdb"))
+        assert os.path.exists(os.path.join(pdb_dir, "initial1.pdb"))
+        assert os.path.exists(os.path.join(pdb_dir, "t1.pdb"))
+        assert os.path.exists(os.path.join(npz_dir, "t1.npz"))
+        saved = dict(np.load(os.path.join(npz_dir, "t1.npz")))
+        assert set(saved) == {"dist", "omega", "theta", "phi", "tmp"}
+
+    def test_run_single_with_precomputed_npz(self, tmp_path):
+        L = 16
+        seq = "ARNDCQEGHILKMFPS"
+        fasta = tmp_path / "t.fasta"
+        fasta.write_text(f">t\n{seq}\n")
+        npz_dir = tmp_path / "npz"
+        npz_dir.mkdir()
+        np.savez_compressed(npz_dir / "t_NMR.npz", **_rand_npz(L, key=6))
+        cfg = DynamicsConfig(init_num=2, Nmax=1, max_iter=10,
+                             fastrelax=False, mult_two_models=False)
+        out = run_single("t", str(fasta), None, str(tmp_path / "out"), cfg,
+                         npz_dir=str(npz_dir))
+        pdbs = sorted(os.listdir(os.path.join(out, "pred_pdb")))
+        assert all(p.startswith("conf_") for p in pdbs)
+        assert not os.path.exists(os.path.join(out, "tmp_npz"))
+        assert os.path.exists(os.path.join(out, "pred_npz", "t_NMR.npz"))
+
+
+REF_PDB_DIR = "/root/reference/example/output/seq/pred_pdb"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_PDB_DIR),
+                    reason="reference example not mounted")
+class TestAnalysisCLI:
+    def test_evaluate_matches_golden_stats(self, tmp_path):
+        from trx2dy.analysis.evaluate import run_score
+        nat = tmp_path / "native"
+        nat.mkdir()
+        import shutil
+        shutil.copy("/root/reference/example/apo.pdb", nat)
+        shutil.copy("/root/reference/example/holo.pdb", nat)
+        min_rmsd, max_tm, mean_rmsd, mean_tm = run_score(
+            str(nat), REF_PDB_DIR, save_summary=True, save_dir=str(tmp_path))
+        # golden (example/output/seq/summary.txt): 3.02 / 0.67 / 3.47 / 0.65
+        assert abs(min_rmsd - 3.02) < 0.05
+        assert abs(max_tm - 0.67) < 0.01
+        assert abs(mean_rmsd - 3.47) < 0.1
+        assert abs(mean_tm - 0.65) < 0.01
+        txt = (tmp_path / "summary.txt").read_text()
+        assert "best_RMSD" in txt and "Mean TM-score" in txt
+
+    def test_glocon_cluster(self, tmp_path):
+        from trx2dy.analysis.cluster import save_cluster_result
+        res = save_cluster_result(REF_PDB_DIR, n_clusters=2, n_files=1,
+                                  output_dir=str(tmp_path / "c"))
+        assert res != "no_cluster" and len(res) == 2
+        copied = os.listdir(tmp_path / "c")
+        assert 2 <= len(copied) <= 8
+
+    def test_cluster_too_few_samples(self, tmp_path):
+        from trx2dy.analysis.cluster import save_cluster_result
+        res = save_cluster_result(REF_PDB_DIR, n_clusters=50,
+                                  output_dir=str(tmp_path / "c2"))
+        assert res == "no_cluster"

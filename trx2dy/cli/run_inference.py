@@ -1,0 +1,76 @@
+"""Dynamics pipeline CLI — drop-in equivalent of the reference
+run_inference.py (argparse surface at run_inference.py:356-380, plus
+TPU-framework extras --npz_dir / --model_dir / --seed / --max_iter).
+
+Usage (bundled example, precomputed geometry):
+  python -m trx2dy.cli.run_inference \
+      --fasta example/seq.fasta --msa example/seq.a3m --name seq \
+      --save_dir out --npz_dir example/output/seq/pred_npz
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Protein dynamic-ensemble prediction (trx2dy, TPU-native)")
+    p.add_argument("--fasta", type=str, help="single-sample FASTA file")
+    p.add_argument("--msa", type=str, help="single-sample MSA (.a3m) file")
+    p.add_argument("--fasta_dir", type=str, help="FASTA dir for batch mode")
+    p.add_argument("--msa_dir", type=str, help="MSA dir for batch mode")
+    p.add_argument("--name", type=str, help="sample name (single mode)")
+    p.add_argument("--name_lst", type=str, help="file with names (batch mode)")
+    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--init_num", type=int, default=10)
+    p.add_argument("--Nmax", type=int, default=300)
+    p.add_argument("--angle", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--mult_two_models", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--device", type=str, default="tpu",
+                   help="accepted for reference compatibility; JAX picks the "
+                        "backend (tpu when available, else cpu)")
+    # framework extras
+    p.add_argument("--npz_dir", type=str, default=None,
+                   help="directory with precomputed <name>_{NMR,Xray}.npz")
+    p.add_argument("--model_dir", type=str, default=None,
+                   help="directory with converted Predictor2D weights")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_iter", type=int, default=1000,
+                   help="L-BFGS iteration cap per minimization stage")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from trx2dy.dynamics.driver import DynamicsConfig, run_single
+
+    cfg = DynamicsConfig(init_num=args.init_num, Nmax=args.Nmax,
+                         angle=args.angle,
+                         mult_two_models=args.mult_two_models,
+                         seed=args.seed, max_iter=args.max_iter)
+
+    if args.name_lst:
+        if not args.fasta_dir or not args.msa_dir:
+            raise SystemExit(
+                "batch mode requires --fasta_dir, --msa_dir, --name_lst")
+        with open(args.name_lst) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        for name in names:
+            run_single(name, os.path.join(args.fasta_dir, name + ".fasta"),
+                       os.path.join(args.msa_dir, name + ".a3m"),
+                       args.save_dir, cfg, npz_dir=args.npz_dir,
+                       model_dir=args.model_dir)
+            print(f"[trx2dy] {name} done")
+    else:
+        if not args.fasta or not args.name:
+            raise SystemExit("single mode requires --fasta and --name")
+        out = run_single(args.name, args.fasta, args.msa, args.save_dir, cfg,
+                         npz_dir=args.npz_dir, model_dir=args.model_dir)
+        print(f"[trx2dy] inference for '{args.name}' completed: {out}")
+
+
+if __name__ == "__main__":
+    main()

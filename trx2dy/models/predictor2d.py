@@ -1,0 +1,411 @@
+"""Predictor2D — the trRosettaX2 2D-geometry trunk (Dynamics flavor) in JAX.
+
+Re-implementation of trRosettaX2/evoutils/attn_conv.py:476 (Predictor2D with
+dim=128, depth=12, msa_tie_row_attn=True, in_dim=526) as pure functions over
+a FLAT parameter dict keyed by the torch checkpoint's state_dict names
+(prefix "net." from the DistPredictorBaseline wrapper, utils.py:626-631).
+Using the checkpoint keys directly makes weight conversion a cast-only copy
+(trx2dy.models.torch_convert) and lets parity be audited key-by-key.
+
+Per block (SequentialSequence.forward order, attn_conv.py:441-472):
+  m += MSAAttention(LN(m), pair-bias x)   tied-row + column axial attention
+  m += FF(LN(m))
+  x  = UpdateX(x, m)                      MSA outer-product -> pair
+  x  = TriUpdate(x)                       4x [tri-op + Res2Net conv] + trans
+  m  = UpdateM(x, m)                      pair-attention -> MSA + FF
+
+Heads: 1x1 convs; dist/omega on the symmetrized trunk (attn_conv.py:586-597).
+All dropout layers are identity (inference); gradient checkpointing is
+unnecessary (remat would be added only for training).
+
+Works unbatched: pair x is (L, L, D), MSA m is (R, L, D).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jnp.ndarray]
+
+DIM = 128
+DEPTH = 12
+HEADS = 8
+DIM_HEAD = 64
+IN_DIM = 526
+N_TOKENS = 21
+_EPS_LN = 1e-5
+_EPS_IN = 1e-5
+_HI = jax.lax.Precision.HIGHEST
+
+
+# --------------------------------------------------------------------------
+# primitive layers
+# --------------------------------------------------------------------------
+
+def linear(p: Params, name: str, x, bias: bool = True):
+    """torch nn.Linear: x @ W^T + b; W is (out, in)."""
+    y = jnp.einsum("...i,oi->...o", x, p[f"{name}.weight"], precision=_HI)
+    if bias:
+        y = y + p[f"{name}.bias"]
+    return y
+
+
+def layer_norm(p: Params, name: str, x):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + _EPS_LN) * p[f"{name}.weight"] \
+        + p[f"{name}.bias"]
+
+
+def instance_norm(p: Params, name: str, x):
+    """torch InstanceNorm2d(affine=True) on channel-last (H, W, C) input."""
+    mu = jnp.mean(x, axis=(0, 1), keepdims=True)
+    var = jnp.var(x, axis=(0, 1), keepdims=True)
+    return (x - mu) / jnp.sqrt(var + _EPS_IN) * p[f"{name}.weight"] \
+        + p[f"{name}.bias"]
+
+
+def conv2d(p: Params, name: str, x):
+    """torch Conv2d on channel-last (H, W, C); kernel stored (O, I, kh, kw)."""
+    w = p[f"{name}.weight"]
+    if w.shape[-1] == 1 and w.shape[-2] == 1:    # 1x1 -> plain matmul
+        y = jnp.einsum("hwi,oi->hwo", x, w[:, :, 0, 0], precision=_HI)
+    else:
+        kern = jnp.transpose(w, (2, 3, 1, 0))    # OIHW -> HWIO
+        y = jax.lax.conv_general_dilated(
+            x[None], kern, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=_HI)[0]
+    return y + p[f"{name}.bias"]
+
+
+def elu(x):
+    return jax.nn.elu(x)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+# --------------------------------------------------------------------------
+# modules (names follow evoutils source)
+# --------------------------------------------------------------------------
+
+def feed_forward(p: Params, name: str, x):
+    """FeedForward (attn_conv.py:52-68): Linear(d,4d) ReLU Linear(4d,d)."""
+    h = jax.nn.relu(linear(p, f"{name}.feed_forward.0", x))
+    return linear(p, f"{name}.feed_forward.3", h)
+
+
+def bottle2neck(p: Params, name: str, x):
+    """Res2Net bottleneck (attn_conv.py:72-143): expansion=1, scale=4,
+    baseWidth=26 -> width 52, shortcut=False."""
+    width = 52
+    out = conv2d(p, f"{name}.conv1", elu(instance_norm(p, f"{name}.bn1", x)))
+    spx = [out[..., i * width:(i + 1) * width] for i in range(4)]
+    outs = []
+    sp = None
+    for i in range(3):
+        sp = spx[i] if i == 0 else sp + spx[i]
+        sp = conv2d(p, f"{name}.convs.{i}",
+                    elu(instance_norm(p, f"{name}.bns.{i}", sp)))
+        outs.append(sp)
+    out = jnp.concatenate(outs + [spx[3]], axis=-1)
+    out = conv2d(p, f"{name}.conv3",
+                 elu(instance_norm(p, f"{name}.bn3", out)))
+    return out
+
+
+def triangle_multiplication(p: Params, name: str, z, direct: str):
+    """modules.py:272-296."""
+    z = layer_norm(p, f"{name}.norm", z)
+    ab = sigmoid(linear(p, f"{name}.linear2.0", z)) \
+        * linear(p, f"{name}.linear1", z)
+    a, b = jnp.split(ab, 2, axis=-1)
+    gate = sigmoid(linear(p, f"{name}.to_gate.0", z))
+    if direct == "outgoing":
+        prod = jnp.einsum("ikd,jkd->ijd", a, b, precision=_HI)
+    else:
+        prod = jnp.einsum("kid,kjd->ijd", a, b, precision=_HI)
+    out = layer_norm(p, f"{name}.to_out.0", prod)
+    out = linear(p, f"{name}.linear_out", out)
+    return gate * out
+
+
+def triangle_attention(p: Params, name: str, z, wise: str, n_heads: int = 4):
+    """modules.py:309-350."""
+    z = layer_norm(p, f"{name}.norm", z)
+    qkv = linear(p, f"{name}.to_qkv", z, bias=False)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    L = z.shape[0]
+    reshape = lambda t: t.reshape(L, L, n_heads, -1)
+    q, k, v = reshape(q), reshape(k), reshape(v)
+    b = linear(p, f"{name}.linear_for_pair", z, bias=False)   # (L, L, H)
+    gate = sigmoid(linear(p, f"{name}.to_gate.0", z))
+    scale = q.shape[-1] ** 0.5
+    if wise == "row":
+        attn = jax.nn.softmax(
+            jnp.einsum("rihd,rjhd->rijh", q, k, precision=_HI) / scale
+            + b[None, :, :, :], axis=2)
+        out = jnp.einsum("rijh,rjhd->rihd", attn, v, precision=_HI)
+    else:  # col
+        attn = jax.nn.softmax(
+            jnp.einsum("ilhd,jlhd->ijlh", q, k, precision=_HI) / scale
+            + b[:, :, None, :], axis=1)
+        out = jnp.einsum("ijlh,jlhd->ilhd", attn, v, precision=_HI)
+    out = gate * out.reshape(L, L, -1)
+    return linear(p, f"{name}.to_out", out)
+
+
+def pair_transition(p: Params, name: str, z):
+    """modules.py:353-367."""
+    z = layer_norm(p, f"{name}.norm", z)
+    return linear(p, f"{name}.linear2.1",
+                  jax.nn.relu(linear(p, f"{name}.linear1", z)))
+
+
+def tri_update(p: Params, name: str, z):
+    """TriUpdate (attn_conv.py:147-189); dropout = identity at inference."""
+    z = z + triangle_multiplication(p, f"{name}.pair_multi_out", z,
+                                    "outgoing") \
+        + bottle2neck(p, f"{name}.conv_stem.0.1", z)
+    z = z + triangle_multiplication(p, f"{name}.pair_multi_in", z,
+                                    "incoming") \
+        + bottle2neck(p, f"{name}.conv_stem.1.1", z)
+    z = z + triangle_attention(p, f"{name}.pair_row_attn", z, "row") \
+        + bottle2neck(p, f"{name}.conv_stem.2.1", z)
+    z = z + triangle_attention(p, f"{name}.pair_col_attn", z, "col") \
+        + bottle2neck(p, f"{name}.conv_stem.3.1", z)
+    z = z + pair_transition(p, f"{name}.pair_trans", z)
+    return z
+
+
+def _self_attention_col(p: Params, name: str, m):
+    """attn_width on (R, L, D) along the row axis R (column attention):
+    input to the torch module is (L, R, D) batches (attn_conv.py:303-305)."""
+    x = jnp.swapaxes(m, 0, 1)                    # (L, R, D)
+    q = linear(p, f"{name}.to_q", x, bias=False)
+    kv = linear(p, f"{name}.to_kv", x, bias=False)
+    k, v = jnp.split(kv, 2, axis=-1)
+    resh = lambda t: t.reshape(t.shape[0], t.shape[1], HEADS, DIM_HEAD)
+    q, k, v = resh(q), resh(k), resh(v)
+    scale = DIM_HEAD ** -0.5
+    dots = jnp.einsum("bihd,bjhd->bhij", q, k, precision=_HI) * scale
+    attn = jax.nn.softmax(dots, axis=-1)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, v, precision=_HI)
+    out = out.reshape(out.shape[0], out.shape[1], -1)
+    out = linear(p, f"{name}.to_out", out)
+    return jnp.swapaxes(out, 0, 1)               # back to (R, L, D)
+
+
+def _self_attention_row_tied(p: Params, name: str, m, pair):
+    """attn_height with tie_attn_dim=R and pair bias (attn_conv.py:238-245):
+    dots = sum_r q.k * scale * R^-0.5 + pair_bias, shared across rows."""
+    R = m.shape[0]
+    q = linear(p, f"{name}.to_q", m, bias=False)
+    kv = linear(p, f"{name}.to_kv", m, bias=False)
+    k, v = jnp.split(kv, 2, axis=-1)
+    resh = lambda t: t.reshape(R, t.shape[1], HEADS, DIM_HEAD)
+    q, k, v = resh(q), resh(k), resh(v)
+    scale = DIM_HEAD ** -0.5 * R ** -0.5
+    dots = jnp.einsum("rihd,rjhd->hij", q, k, precision=_HI) * scale
+    pb = layer_norm(p, f"{name}.pair_norm", pair)
+    pb = linear(p, f"{name}.pair_linear", pb, bias=False)     # (L, L, H)
+    dots = dots + jnp.transpose(pb, (2, 0, 1))
+    attn = jax.nn.softmax(dots, axis=-1)
+    out = jnp.einsum("hij,rjhd->rihd", attn, v, precision=_HI)
+    out = out.reshape(R, out.shape[1], -1)
+    return linear(p, f"{name}.to_out", out)
+
+
+def msa_attention(p: Params, name: str, m, pair):
+    """PreNorm(MSAAttention) (attn_conv.py:277-325): column attention +
+    tied-row attention with pair bias, averaged."""
+    m = layer_norm(p, f"{name}.norm", m)
+    w_out = _self_attention_col(p, f"{name}.fn.attn_width", m)
+    h_out = _self_attention_row_tied(p, f"{name}.fn.attn_height", m, pair)
+    return (w_out + h_out) / 2.0
+
+
+def update_x(p: Params, name: str, x, m):
+    """UpdateX (attn_conv.py:341-371): MSA outer product -> pair update.
+    (the module's norm/conv layers are defined but unused in forward)."""
+    mm = linear(p, f"{name}.proj_down1", m)                   # (R, L, 32)
+    R = mm.shape[0]
+    outer = jnp.einsum("rid,rjc->ijcd", mm, mm, precision=_HI) / R
+    outer = outer.reshape(outer.shape[0], outer.shape[1], -1)
+    return x + linear(p, f"{name}.proj_down2", outer)
+
+
+def update_m(p: Params, name: str, x, m, n_heads: int = 8):
+    """UpdateM (attn_conv.py:374-395): pair-derived attention over MSA."""
+    pair = (x + jnp.swapaxes(x, 0, 1)) / 2.0
+    pair = layer_norm(p, f"{name}.norm1", pair)
+    attn = jax.nn.softmax(linear(p, f"{name}.linear1", pair), axis=-2)
+    values = layer_norm(p, f"{name}.norm2", m)
+    values = linear(p, f"{name}.linear2", values)             # (R, L, d/h)
+    attn_out = jnp.einsum("ijh,rjd->rihd", attn, values, precision=_HI)
+    attn_out = attn_out.reshape(m.shape[0], m.shape[1], -1)
+    out = m + attn_out
+    return out + feed_forward(p, f"{name}.ff",
+                              layer_norm(p, f"{name}.norm3", out))
+
+
+def relpos_embed(p: Params, name: str, res_id):
+    """relpos (attn_conv.py:398-413): clamp |i-j| to +-32, one-hot 65, linear."""
+    d = res_id[:, None] - res_id[None, :]
+    d = jnp.clip(d, -32, 32)
+    onehot = (d[..., None] == jnp.arange(-32, 33)).astype(jnp.float32)
+    return linear(p, f"{name}.linear", onehot)
+
+
+# --------------------------------------------------------------------------
+# full forward
+# --------------------------------------------------------------------------
+
+def predictor2d_apply(p: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
+                      res_id=None, depth: int = DEPTH):
+    """Forward pass (attn_conv.py:534-605).
+
+    Args:
+      p: flat param dict with torch state_dict keys (prefix 'net.').
+      f2d: (L, L, 526) pair features from trx2dy.models.features.get_f2d.
+      msa: (R, L) int tokens, already row-capped (msa_cutoff=500).
+
+    Returns dict of LOGITS {dist (L,L,37), omega (L,L,25), theta (L,L,25),
+    phi (L,L,13)} — softmax is applied by the caller like the reference
+    (utils.py:639-640).
+    """
+    L = f2d.shape[0]
+    if res_id is None:
+        res_id = jnp.arange(L)
+
+    x = instance_norm(p, "net.bn1", f2d)
+    x = conv2d(p, "net.conv1", elu(x))                        # (L, L, 128)
+    m = p["net.token_emb.weight"][msa]                        # (R, L, 128)
+    x = x + relpos_embed(p, "net.input_emb.relpos", res_id)
+
+    for i in range(depth):
+        blk = f"net.net.blocks.{i}"
+        m = m + msa_attention(p, f"{blk}.1", m, x)
+        m = m + feed_forward(p, f"{blk}.3.fn",
+                             layer_norm(p, f"{blk}.3.norm", m))
+        x = update_x(p, f"{blk}.2", x, m)
+        x = tri_update(p, f"{blk}.0", x)
+        m = update_m(p, f"{blk}.4", x, m)
+
+    sym = (x + jnp.swapaxes(x, 0, 1)) * 0.5
+    head = lambda name, t: conv2d(p, name, t)
+    return {
+        "dist": head("net.to_dist_logits", sym),
+        "theta": head("net.to_theta_logits", x),
+        "omega": head("net.to_omega_logits", sym),
+        "phi": head("net.to_phi_logits", x),
+    }
+
+
+# --------------------------------------------------------------------------
+# random init (shape-complete, for tests and scratch training)
+# --------------------------------------------------------------------------
+
+def init_params(key, depth: int = DEPTH, dim: int = DIM,
+                in_dim: int = IN_DIM) -> Params:
+    """Random parameters with exactly the checkpoint's keys and shapes."""
+    keys = {}
+
+    def lin(name, i, o, bias=True):
+        keys[f"{name}.weight"] = (o, i)
+        if bias:
+            keys[f"{name}.bias"] = (o,)
+
+    def ln(name, d):
+        keys[f"{name}.weight"] = (d,)
+        keys[f"{name}.bias"] = (d,)
+
+    def conv(name, i, o, k):
+        keys[f"{name}.weight"] = (o, i, k, k)
+        keys[f"{name}.bias"] = (o,)
+
+    ln("net.bn1", in_dim)
+    conv("net.conv1", in_dim, dim, 1)
+    keys["net.token_emb.weight"] = (N_TOKENS, dim)
+    lin("net.input_emb.relpos.linear", 65, dim)
+
+    for i in range(depth):
+        b = f"net.net.blocks.{i}"
+        # TriUpdate
+        for d_, direct in (("pair_multi_out", 1), ("pair_multi_in", 1)):
+            nm = f"{b}.0.{d_}"
+            ln(f"{nm}.norm", dim)
+            lin(f"{nm}.linear1", dim, dim * 2)
+            lin(f"{nm}.linear2.0", dim, dim * 2)
+            lin(f"{nm}.to_gate.0", dim, dim)
+            ln(f"{nm}.to_out.0", dim)
+            lin(f"{nm}.linear_out", dim, dim)
+        for a_ in ("pair_row_attn", "pair_col_attn"):
+            nm = f"{b}.0.{a_}"
+            ln(f"{nm}.norm", dim)
+            lin(f"{nm}.to_qkv", dim, 32 * 3 * 4, bias=False)
+            lin(f"{nm}.linear_for_pair", dim, 4, bias=False)
+            lin(f"{nm}.to_gate.0", dim, dim)
+            lin(f"{nm}.to_out", 4 * 32, dim)
+        nm = f"{b}.0.pair_trans"
+        ln(f"{nm}.norm", dim)
+        lin(f"{nm}.linear1", dim, dim * 4)
+        lin(f"{nm}.linear2.1", dim * 4, dim)
+        for c in range(4):
+            nm = f"{b}.0.conv_stem.{c}.1"
+            ln2 = lambda n, d: (keys.__setitem__(f"{n}.weight", (d,)),
+                                keys.__setitem__(f"{n}.bias", (d,)))
+            ln2(f"{nm}.bn1", dim)
+            conv(f"{nm}.conv1", dim, 208, 1)
+            for j in range(3):
+                ln2(f"{nm}.bns.{j}", 52)
+                conv(f"{nm}.convs.{j}", 52, 52, 3)
+            ln2(f"{nm}.bn3", 208)
+            conv(f"{nm}.conv3", 208, dim, 1)
+        # MSAAttention prenorm
+        ln(f"{b}.1.norm", dim)
+        for att in ("attn_width", "attn_height"):
+            nm = f"{b}.1.fn.{att}"
+            lin(f"{nm}.to_q", dim, HEADS * DIM_HEAD, bias=False)
+            lin(f"{nm}.to_kv", dim, HEADS * DIM_HEAD * 2, bias=False)
+            lin(f"{nm}.to_out", HEADS * DIM_HEAD, dim)
+            ln(f"{nm}.pair_norm", dim)
+            lin(f"{nm}.pair_linear", dim, HEADS, bias=False)
+        # UpdateX
+        lin(f"{b}.2.proj_down1", dim, 32)
+        lin(f"{b}.2.proj_down2", 32 * 32, dim)
+        # FF prenorm
+        ln(f"{b}.3.norm", dim)
+        lin(f"{b}.3.fn.feed_forward.0", dim, dim * 4)
+        lin(f"{b}.3.fn.feed_forward.3", dim * 4, dim)
+        # UpdateM
+        ln(f"{b}.4.norm1", dim)
+        ln(f"{b}.4.norm2", dim)
+        ln(f"{b}.4.norm3", dim)
+        lin(f"{b}.4.linear1", dim, HEADS)
+        lin(f"{b}.4.linear2", dim, dim // HEADS)
+        lin(f"{b}.4.ff.feed_forward.0", dim, dim * 4)
+        lin(f"{b}.4.ff.feed_forward.3", dim * 4, dim)
+
+    conv("net.to_dist_logits", dim, 37, 1)
+    conv("net.to_theta_logits", dim, 25, 1)
+    conv("net.to_omega_logits", dim, 25, 1)
+    conv("net.to_phi_logits", dim, 13, 1)
+
+    params = {}
+    subkeys = jax.random.split(key, len(keys))
+    for (name, shape), k in zip(sorted(keys.items()), subkeys):
+        if name.endswith(".bias") or (name.endswith(".weight")
+                                      and len(shape) == 1):
+            params[name] = jnp.zeros(shape) if name.endswith(".bias") \
+                else jnp.ones(shape)
+        else:
+            fan_in = int(np.prod(shape[1:])) if len(shape) > 1 else shape[0]
+            params[name] = jax.random.normal(k, shape) / np.sqrt(fan_in)
+    return params

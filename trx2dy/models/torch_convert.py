@@ -1,0 +1,46 @@
+"""Torch checkpoint -> JAX flat-param conversion.
+
+The pretrained trRosettaX2 checkpoints (trX2(NMR)_40.pth / trX2(X-ray)_40.pth,
+run_inference.py:298-302) are plain torch state_dicts of DistPredictorBaseline
+(keys prefixed 'net.'). Because trx2dy.models.predictor2d uses those exact key
+names, conversion is a dtype cast per tensor — no renaming, no reshaping
+(conv kernels keep torch's OIHW layout; the JAX conv transposes at use site).
+
+torch is only imported here (CPU build in the image); inference never needs
+it. Converted weights can be cached as .npz for torch-free reload.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def state_dict_to_params(state_dict, dtype=np.float32) -> Dict[str, jnp.ndarray]:
+    """Flat {torch key: array} param dict from a torch state_dict (or any
+    mapping of tensors/arrays)."""
+    params = {}
+    for k, v in state_dict.items():
+        arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                         else v, dtype=dtype)
+        params[k] = jnp.asarray(arr)
+    return params
+
+
+def load_torch_checkpoint(path: str, dtype=np.float32) -> Dict[str, jnp.ndarray]:
+    """Load a .pth state_dict checkpoint into a JAX param dict."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):       # whole-module checkpoint
+        sd = sd.state_dict()
+    return state_dict_to_params(sd, dtype=dtype)
+
+
+def save_params_npz(params: Dict[str, jnp.ndarray], path: str) -> None:
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_params_npz(path: str) -> Dict[str, jnp.ndarray]:
+    with np.load(path) as f:
+        return {k: jnp.asarray(f[k]) for k in f.files}
