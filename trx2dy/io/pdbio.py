@@ -116,3 +116,42 @@ def read_pdb_backbone(path: str) -> Tuple[Dict[str, np.ndarray], str]:
         for a, xyz in rec["atoms"].items():
             coords[a][i] = xyz
     return coords, "".join(seq)
+
+
+def write_pdb_atom14(path, seq, atom14, atom14_mask=None, plddt=None,
+                     chain: str = "A"):
+    """Write a full-atom (atom14) model as a PDB file.
+
+    Format matches the reference export (prot_converter.py:292-385: strict
+    80-column ATOM records, pLDDT*100 in the B-factor column). Atom names
+    come from the AF2 atom14 tables; masked/absent atoms are skipped.
+
+    Args:
+      atom14: (L, 14, 3); atom14_mask: (L, 14); plddt: (L,) in [0, 1].
+    """
+    from trx2dy.models.constants import atom14_names, restype_order, restype_3
+
+    L = len(seq)
+    atom14 = np.clip(np.nan_to_num(np.asarray(atom14, float)), -999.0, 999.0)
+    if atom14_mask is None:
+        atom14_mask = np.ones((L, 14))
+    lines = []
+    serial = 0
+    for i in range(L):
+        ridx = restype_order.get(seq[i], 20)
+        res3 = restype_3[ridx] if ridx < 20 else "UNK"
+        for a in range(14):
+            name = str(atom14_names[ridx, a])
+            if not name or atom14_mask[i, a] == 0:
+                continue
+            serial += 1
+            b = 0.0 if plddt is None else float(100.0 * plddt[i])
+            x, y, z = atom14[i, a]
+            lines.append(
+                f"ATOM  {serial:5d}  {name:<3s} {res3:>3s} {chain}"
+                f"{i + 1:4d}    {x:8.3f}{y:8.3f}{z:8.3f}"
+                f"{1.00:6.2f}{b:6.2f}          {name[0]:>2s}  "
+            )
+    lines += ["TER", "END"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -268,29 +268,41 @@ def relpos_embed(p: Params, name: str, res_id):
 # --------------------------------------------------------------------------
 
 def predictor2d_apply(p: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
-                      res_id=None, depth: int = DEPTH):
-    """Forward pass (attn_conv.py:534-605).
+                      res_id=None, depth: int = DEPTH, prefix: str = "net",
+                      msa_emb=None, rec_reprs=None, return_repr: bool = False):
+    """Forward pass (attn_conv.py:534-605; e2e flavor attn_conv_e2e.py:525-
+    576 differs only by in_dim/num_tokens, the optional ESM msa_emb added to
+    the token embedding, and the recycling injection rec_reprs).
 
     Args:
-      p: flat param dict with torch state_dict keys (prefix 'net.').
-      f2d: (L, L, 526) pair features from trx2dy.models.features.get_f2d.
+      p: flat param dict with torch state_dict keys under `prefix.`
+        ('net' for the Dynamics checkpoints, 'net2d' inside the e2e Folding).
+      f2d: (L, L, in_dim) pair features.
       msa: (R, L) int tokens, already row-capped (msa_cutoff=500).
+      msa_emb: optional (R, L, 768) ESM representations (e2e path).
+      rec_reprs: optional dict {'single': (L, dim), 'pair': (L, L, dim)}
+        recycling embeddings (attn_conv_e2e.py:550-552).
 
     Returns dict of LOGITS {dist (L,L,37), omega (L,L,25), theta (L,L,25),
     phi (L,L,13)} — softmax is applied by the caller like the reference
-    (utils.py:639-640).
+    (utils.py:639-640). With return_repr also returns {'pair', 'msa'}.
     """
     L = f2d.shape[0]
     if res_id is None:
         res_id = jnp.arange(L)
 
-    x = instance_norm(p, "net.bn1", f2d)
-    x = conv2d(p, "net.conv1", elu(x))                        # (L, L, 128)
-    m = p["net.token_emb.weight"][msa]                        # (R, L, 128)
-    x = x + relpos_embed(p, "net.input_emb.relpos", res_id)
+    x = instance_norm(p, f"{prefix}.bn1", f2d)
+    x = conv2d(p, f"{prefix}.conv1", elu(x))                  # (L, L, 128)
+    m = p[f"{prefix}.token_emb.weight"][msa]                  # (R, L, 128)
+    if msa_emb is not None:
+        m = m + linear(p, f"{prefix}.linear_emb", msa_emb)
+    if rec_reprs is not None:
+        m = m.at[0].add(rec_reprs["single"])
+        x = x + rec_reprs["pair"]
+    x = x + relpos_embed(p, f"{prefix}.input_emb.relpos", res_id)
 
     for i in range(depth):
-        blk = f"net.net.blocks.{i}"
+        blk = f"{prefix}.net.blocks.{i}"
         m = m + msa_attention(p, f"{blk}.1", m, x)
         m = m + feed_forward(p, f"{blk}.3.fn",
                              layer_norm(p, f"{blk}.3.norm", m))
@@ -300,12 +312,15 @@ def predictor2d_apply(p: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
 
     sym = (x + jnp.swapaxes(x, 0, 1)) * 0.5
     head = lambda name, t: conv2d(p, name, t)
-    return {
-        "dist": head("net.to_dist_logits", sym),
-        "theta": head("net.to_theta_logits", x),
-        "omega": head("net.to_omega_logits", sym),
-        "phi": head("net.to_phi_logits", x),
+    out = {
+        "dist": head(f"{prefix}.to_dist_logits", sym),
+        "theta": head(f"{prefix}.to_theta_logits", x),
+        "omega": head(f"{prefix}.to_omega_logits", sym),
+        "phi": head(f"{prefix}.to_phi_logits", x),
     }
+    if return_repr:
+        return out, {"pair": x, "msa": m}
+    return out
 
 
 # --------------------------------------------------------------------------

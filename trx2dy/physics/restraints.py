@@ -204,3 +204,97 @@ def restraint_energy(rst: RestraintSet, masks: RestraintMasks,
     e += w_angle * jnp.sum(
         jnp.where(masks.phi, evaluate_spline(rst.phi, phi), 0.0))
     return e
+
+
+def compile_restraints_af2(npz: dict, params: FoldParams = FoldParams()
+                           ) -> "RestraintSet":
+    """AF2-distogram restraints (-r af2): 64-bin CA-CA distograms -> 60-knot
+    spline tables (utils_ros.py:148-194 gen_rst_af2).
+
+    npz keys: 'dist' (L, L, 64) probabilities, 'bins' (64,) bin centers.
+    The distance restraint acts on CA-CA (the folder must evaluate it on CA
+    coordinates); orientation restraints are unsupported like the reference.
+    Quirks kept: the background uses only the LAST bin's (bins/DCUT)^ALPHA
+    value (a scalar — utils_ros.py:172), and PCUT is hardcoded to 0.0025.
+    """
+    p = params
+    dist = np.asarray(npz["dist"], dtype=np.float32)
+    af_bins = np.asarray(npz["bins"], dtype=np.float64)
+    L = dist.shape[0]
+    bins = af_bins[5:-1]
+    prob = dist[:, :, 6:-1].sum(-1)
+    bkgr_last = float((bins[-1] / p.DCUT) ** p.ALPHA)
+    attr = (-np.log((dist[:, :, 6:-1] + p.MEFF)
+                    / (dist[:, :, -2][:, :, None] * bkgr_last + 1e-6))
+            + p.EBASE)
+    repul = np.maximum(attr[:, :, 0], 0.0)[:, :, None] + np.asarray(p.EREP)
+    ydist = np.concatenate([repul, attr], axis=-1).astype(np.float32)
+    knots = np.concatenate([[0.0, 2.325, 3.575], bins])
+
+    zeros28 = np.zeros((L, L, 28), np.float32)
+    zeros16 = np.zeros((L, L, 16), np.float32)
+    neg = jnp.full((L, L), -1.0)
+    # shift prob so the reference's hardcoded 0.0025 cutoff maps onto the
+    # standard pcut comparison in restraint_masks (prob' >= pcut - 0.0475)
+    return RestraintSet(
+        dist=fit_natural_cubic(knots, jnp.asarray(ydist)),
+        dist_prob=jnp.asarray(prob + (0.05 - 0.0025)),
+        omega=fit_natural_cubic(torsion_knots(p), jnp.asarray(zeros28)),
+        omega_prob=neg,
+        theta=fit_natural_cubic(torsion_knots(p), jnp.asarray(zeros28)),
+        theta_prob=neg,
+        phi=fit_natural_cubic(planar_knots(p), jnp.asarray(zeros16)),
+        phi_prob=neg,
+    )
+
+
+def compile_restraints_idp(npz: dict, params: FoldParams = FoldParams(),
+                           use_orient: bool = True) -> "RestraintSet":
+    """IDR-aware restraints (-r idp, utils_ros.py:196-373 gen_idp_rst):
+    for intrinsically-disordered pairs (npz['idr'][i,j] truthy) the -log
+    background is MODE-relative — normalized by the max-probability bin
+    (distance background scaled by (x/x_mode)^ALPHA, angles by p_max) —
+    instead of last-bin-relative. Tables are blended per pair by the idr
+    mask; activation masks are unchanged (mode-3 staging applies the
+    order/disorder pair masks on top, folding.py:173-187).
+    """
+    p = params
+    std = compile_restraints(npz, params, use_orient=use_orient)
+    idr = np.asarray(npz["idr"], dtype=bool)
+    if idr.ndim == 1:          # residue-level flags -> pair mask
+        idr = idr[:, None] | idr[None, :]
+    dist = np.asarray(npz["dist"], dtype=np.float32)
+    bins = 4.25 + p.DSTEP * np.arange(32)
+
+    mode_bin = np.argmax(dist[:, :, 5:], axis=-1)
+    idr_bkgr = (bins[None, None, :] / bins[mode_bin][:, :, None]) ** p.ALPHA
+    idr_attr = (-np.log((dist[:, :, 5:] + p.MEFF)
+                        / (dist[:, :, 5:].max(-1)[:, :, None] * idr_bkgr
+                           + 1e-6)) + p.EBASE)
+    repul = np.asarray(std.dist.y)[:, :, :3]
+    ydist_idr = np.concatenate([repul, idr_attr], axis=-1).astype(np.float32)
+    ydist = np.where(idr[:, :, None], ydist_idr, np.asarray(std.dist.y))
+    out = std._replace(dist=fit_natural_cubic(dist_knots(p),
+                                              jnp.asarray(ydist)))
+
+    if use_orient:
+        def idr_torsion(t):
+            y = -np.log((t + p.MEFF) / (t.max(-1) + p.MEFF)[:, :, None])
+            return np.concatenate([y[:, :, -2:], y[:, :, 1:], y[:, :, 1:3]],
+                                  axis=-1).astype(np.float32)
+
+        for key in ("omega", "theta"):
+            t = np.asarray(npz[key], dtype=np.float32)
+            y = np.where(idr[:, :, None], idr_torsion(t),
+                         np.asarray(getattr(std, key).y))
+            out = out._replace(**{key: fit_natural_cubic(torsion_knots(p),
+                                                         jnp.asarray(y))})
+        phi = np.asarray(npz["phi"], dtype=np.float32)
+        yraw = -np.log((phi + p.MEFF) / (phi.max(-1) + p.MEFF)[:, :, None])
+        yidr = np.concatenate([np.flip(yraw[:, :, 1:3], -1), yraw[:, :, 1:],
+                               np.flip(yraw[:, :, -2:], -1)],
+                              axis=-1).astype(np.float32)
+        y = np.where(idr[:, :, None], yidr, np.asarray(std.phi.y))
+        out = out._replace(phi=fit_natural_cubic(planar_knots(p),
+                                                 jnp.asarray(y)))
+    return out
