@@ -1,0 +1,100 @@
+"""Tests for the mesh/sharding helpers and the sharded training step.
+
+Run on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trx2dy.parallel.mesh import make_mesh, data_sharding, msa_sharding
+from trx2dy.models.predictor2d import init_params
+from trx2dy.models.train import (
+    geometry_loss, make_optimizer, init_train_state, make_train_step,
+)
+
+
+def _tiny_batch(B, R, L, seed=0):
+    rng = np.random.default_rng(seed)
+    f2d = jnp.asarray(rng.normal(size=(B, L, L, 526)).astype(np.float32))
+    msa = jnp.asarray(rng.integers(0, 21, (B, R, L)))
+    labels = {k: jnp.asarray(rng.integers(0, n, (B, L, L)))
+              for k, n in [("dist", 37), ("omega", 25), ("theta", 25),
+                           ("phi", 13)]}
+    mask = jnp.ones((B, L, L), bool)
+    return f2d, msa, labels, mask
+
+
+class TestMesh:
+    def test_shapes(self):
+        mesh = make_mesh(jax.devices()[:8])
+        assert mesh.shape["dp"] * mesh.shape["mp"] == 8
+        assert mesh.shape["mp"] == 2
+
+    def test_odd_device_count(self):
+        mesh = make_mesh(jax.devices()[:3])
+        assert mesh.shape == {"dp": 3, "mp": 1}
+
+    def test_sharding_specs(self):
+        mesh = make_mesh(jax.devices()[:4])
+        assert data_sharding(mesh, 3).spec == jax.sharding.PartitionSpec(
+            "dp", None, None)
+        assert msa_sharding(mesh).spec == jax.sharding.PartitionSpec(
+            "dp", "mp", None)
+
+
+class TestTrainStep:
+    def test_loss_finite_and_positive(self):
+        params = init_params(jax.random.PRNGKey(0), depth=1)
+        f2d, msa, labels, mask = _tiny_batch(1, 4, 8)
+        loss = geometry_loss(params, f2d[0], msa[0],
+                             {k: v[0] for k, v in labels.items()}, mask[0],
+                             depth=1)
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+    def test_single_device_step_reduces_loss(self):
+        params = init_params(jax.random.PRNGKey(1), depth=1)
+        opt = make_optimizer(lr=3e-3)
+        state = init_train_state(params, opt)
+        step = make_train_step(opt, mesh=None, depth=1)
+        batch = _tiny_batch(2, 3, 8, seed=2)
+        state, l0 = step(state, *batch)
+        for _ in range(5):
+            state, l1 = step(state, *batch)
+        assert float(l1) < float(l0)
+        assert int(state.step) == 6
+
+    def test_sharded_step_matches_unsharded(self):
+        mesh = make_mesh(jax.devices()[:8])   # 4 x 2
+        B, R, L = 4, 4, 8
+        opt = make_optimizer(lr=1e-3)
+        # donate_argnums consumes the state: independent params per path
+        fresh = lambda: init_params(jax.random.PRNGKey(3), depth=1)
+
+        step_sh = make_train_step(opt, mesh=mesh, depth=1)
+        batch = _tiny_batch(B, R, L, seed=3)
+        with mesh:
+            state_sh, loss_sh = step_sh(init_train_state(fresh(), opt),
+                                        *batch)
+
+        step_1d = make_train_step(opt, mesh=None, depth=1)
+        state_1d, loss_1d = step_1d(init_train_state(fresh(), opt), *batch)
+
+        assert abs(float(loss_sh) - float(loss_1d)) < 1e-3
+        # parameters after one step must agree across the two paths
+        k = "net.conv1.weight"
+        np.testing.assert_allclose(np.asarray(state_sh.params[k]),
+                                   np.asarray(state_1d.params[k]), atol=1e-4)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out["dist"].shape[-1] == 37
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)

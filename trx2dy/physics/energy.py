@@ -195,13 +195,16 @@ def pairwise_geometry(atoms: dict) -> dict:
 
 
 def pose_energy(torsions: jnp.ndarray, rst: RestraintSet,
-                masks: RestraintMasks, w: EnergyWeights) -> jnp.ndarray:
+                masks: RestraintMasks, w: EnergyWeights,
+                dist_on_ca: bool = False) -> jnp.ndarray:
     """Total energy of one decoy parameterized by backbone torsions.
 
     Args:
       torsions: (3, L) [phi; psi; omega] in radians.
       w: static EnergyWeights (a python NamedTuple of floats — closure
         constant under jit, so zero-weight terms compile away).
+      dist_on_ca: static; evaluate the distance restraints on CA-CA instead
+        of CB-CB (the af2-distogram mode, utils_ros.py:188 'AtomPair CA').
     """
     phi, psi, omg = torsions[0], torsions[1], torsions[2]
     atoms = build_backbone(phi, psi, omg)
@@ -218,6 +221,55 @@ def pose_energy(torsions: jnp.ndarray, rst: RestraintSet,
         e = e + hbond_energy(atoms, w.hbond_sr, w.hbond_lr)
     if w.atom_pair or w.dihedral or w.angle:
         g = pairwise_geometry(atoms)
-        e = e + restraint_energy(rst, masks, g["dist"], g["omega"], g["theta"],
+        dist = g["dist"]
+        if dist_on_ca:
+            ca = atoms["CA"]
+            dist = jnp.linalg.norm(ca[:, None, :] - ca[None, :, :] + 1e-8,
+                                   axis=-1)
+        e = e + restraint_energy(rst, masks, dist, g["omega"], g["theta"],
                                  g["phi"], w.atom_pair, w.dihedral, w.angle)
+    return e
+
+
+# --------------------------------------------------------------------------
+# weighted-by-array energy: one compiled program serves every score function
+# --------------------------------------------------------------------------
+
+# order of the weight vector (matches EnergyWeights fields)
+WEIGHT_FIELDS = EnergyWeights._fields
+
+
+def weights_to_vec(w: EnergyWeights) -> jnp.ndarray:
+    return jnp.asarray([getattr(w, f) for f in WEIGHT_FIELDS], jnp.float32)
+
+
+def pose_energy_weighted(torsions: jnp.ndarray, rst: RestraintSet,
+                         masks: RestraintMasks, w_vec: jnp.ndarray,
+                         dist_on_ca: bool = False) -> jnp.ndarray:
+    """pose_energy with the score-function weights as a TRACED (9,) vector.
+
+    Every term is always computed; stages differ only in data. This lets the
+    staged protocol reuse ONE compiled L-BFGS program for all score
+    functions (centroid / sf1 / vdw / cart / relax), cutting compile time
+    ~10x versus tracing the whole multi-stage protocol into one program.
+    """
+    w = dict(zip(WEIGHT_FIELDS, w_vec))
+    phi, psi, omg = torsions[0], torsions[1], torsions[2]
+    atoms = build_backbone(phi, psi, omg)
+    e = w["vdw"] * vdw_energy(atoms)
+    e = e + w["rama"] * rama_energy(phi, psi)
+    e = e + w["omega"] * omega_planarity_energy(omg)
+    # hbond components shared between cen_hb (sr+lr at weight 1) and the
+    # cart-flavour hbond_sr/hbond_lr terms
+    e = e + hbond_energy(atoms, w["cen_hb"] + w["hbond_sr"],
+                         w["cen_hb"] + w["hbond_lr"])
+    g = pairwise_geometry(atoms)
+    dist = g["dist"]
+    if dist_on_ca:
+        ca = atoms["CA"]
+        dist = jnp.linalg.norm(ca[:, None, :] - ca[None, :, :] + 1e-8,
+                               axis=-1)
+    e = e + restraint_energy(rst, masks, dist, g["omega"], g["theta"],
+                             g["phi"], w["atom_pair"], w["dihedral"],
+                             w["angle"])
     return e

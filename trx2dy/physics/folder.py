@@ -42,7 +42,7 @@ from trx2dy.physics.energy import (
 )
 from trx2dy.physics.restraints import (
     FoldParams, RestraintSet, RestraintMasks, compile_restraints,
-    restraint_masks,
+    compile_restraints_af2, compile_restraints_idp, restraint_masks,
 )
 from trx2dy.physics.minimize import lbfgs_minimize
 
@@ -77,20 +77,46 @@ def random_torsions(key: jax.Array, L: int, n_decoys: int) -> jnp.ndarray:
     return jnp.stack([phi, psi, omg], axis=1)
 
 
-def _batch_energy(w: EnergyWeights):
+def _batch_energy(w: EnergyWeights, dist_on_ca: bool = False):
     """(B, 3L) flattened torsions -> (B,) energies, for a static weight set."""
     def fn(x, rst, masks):
         B = x.shape[0]
         t = x.reshape(B, 3, -1)
-        return jax.vmap(pose_energy, in_axes=(0, None, None, None))(
-            t, rst, masks, w)
+        return jax.vmap(pose_energy, in_axes=(0, None, None, None, None))(
+            t, rst, masks, w, dist_on_ca)
     return fn
 
 
 def _stage_masks_centroid(rst: RestraintSet, seq: str, mode: int,
-                          pcut: float) -> Sequence[RestraintMasks]:
-    """Cumulative per-stage restraint masks for the centroid phase."""
+                          pcut: float,
+                          idr=None) -> Sequence[RestraintMasks]:
+    """Cumulative per-stage restraint masks for the centroid phase.
+
+    Mode 3 (folding.py:173-187) stages by ORDER then DISORDER pair masks
+    instead of sequence separation; `idr` is the (L, L) disorder mask."""
     L = len(seq)
+    stages = []
+    cum = None
+
+    def accumulate(m):
+        nonlocal cum
+        if cum is None:
+            cum = m
+        else:
+            cum = RestraintMasks(*(a | b for a, b in zip(cum, m)))
+        stages.append(cum)
+
+    if mode == 3:
+        if idr is None:
+            raise ValueError("mode 3 requires the npz 'idr' mask")
+        idr = jnp.asarray(np.asarray(idr, bool))
+        if idr.ndim == 1:
+            idr = idr[:, None] | idr[None, :]
+        base = restraint_masks(rst, seq, 0, L, pcut=pcut)
+        for pair_mask in (~idr, idr):           # order, then disorder
+            accumulate(RestraintMasks(*(m & pair_mask for m in base)))
+        return stages
+
     if mode == 0:
         ranges = [(1, 12), (12, 24), (24, L)]
     elif mode == 1:
@@ -98,21 +124,15 @@ def _stage_masks_centroid(rst: RestraintSet, seq: str, mode: int,
     elif mode == 2:
         ranges = [(1, L)]
     else:
-        raise ValueError(f"mode {mode} not supported (0/1/2)")
-    stages = []
-    cum = None
+        raise ValueError(f"mode {mode} not supported (0/1/2/3)")
     for (s1, s2) in ranges:
-        m = restraint_masks(rst, seq, s1, s2, pcut=pcut)
-        if cum is None:
-            cum = m
-        else:
-            cum = RestraintMasks(*(a | b for a, b in zip(cum, m)))
-        stages.append(cum)
+        accumulate(restraint_masks(rst, seq, s1, s2, pcut=pcut))
     return stages
 
 
 def _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
-              n_centroid_stages: int, fastrelax: bool, max_iter: int):
+              n_centroid_stages: int, fastrelax: bool, max_iter: int,
+              dist_on_ca: bool = False):
     """The full staged protocol as one traced program.
 
     stage_masks is a pytree of stacked (n_stages, ...) masks so the stage
@@ -120,10 +140,10 @@ def _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
     dynamics iterations).
     """
     e_vdw = _batch_energy(SCOREFXN_VDW)
-    e_cent = _batch_energy(SCOREFXN_CENT)
-    e_cart = _batch_energy(SCOREFXN_CART)
-    e_sf1 = _batch_energy(SCOREFXN1)
-    e_relax = _batch_energy(SCOREFXN_RELAX)
+    e_cent = _batch_energy(SCOREFXN_CENT, dist_on_ca)
+    e_cart = _batch_energy(SCOREFXN_CART, dist_on_ca)
+    e_sf1 = _batch_energy(SCOREFXN1, dist_on_ca)
+    e_relax = _batch_energy(SCOREFXN_RELAX, dist_on_ca)
     empty = jax.tree.map(lambda m: jnp.zeros_like(m[0]), stage_masks)
 
     def remove_clash(x, min_fun, masks, iters):
@@ -157,18 +177,20 @@ def _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_centroid_stages", "fastrelax",
-                                    "max_iter"))
+                                    "max_iter", "dist_on_ca"))
 def _protocol_jit(x0, rst, stage_masks, relax1_masks, relax2_masks,
-                  n_centroid_stages, fastrelax, max_iter):
+                  n_centroid_stages, fastrelax, max_iter,
+                  dist_on_ca=False):
     return _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
-                     n_centroid_stages, fastrelax, max_iter)
+                     n_centroid_stages, fastrelax, max_iter, dist_on_ca)
 
 
 def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
                   mode: int = 2, use_orient: bool = True,
                   fastrelax: bool = True, pcut: Optional[float] = None,
                   params: FoldParams = FoldParams(), max_iter: int = 1000,
-                  x0: Optional[jnp.ndarray] = None) -> FoldResult:
+                  x0: Optional[jnp.ndarray] = None,
+                  rst_mode: str = "no-idp") -> FoldResult:
     """Fold an ensemble of decoys from predicted geometry histograms.
 
     Args:
@@ -189,9 +211,21 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
             f"sequence length {L} does not match npz geometry maps "
             f"{np.asarray(npz['dist']).shape[:2]}")
     pcut = params.PCUT if pcut is None else pcut
-    rst = compile_restraints(npz, params, use_orient=use_orient)
+    dist_on_ca = rst_mode == "af2"
+    if rst_mode == "no-idp":
+        rst = compile_restraints(npz, params, use_orient=use_orient)
+    elif rst_mode == "af2":
+        if use_orient:
+            raise ValueError("af2 restraints do not support --orient "
+                             "(utils_ros.py:150)")
+        rst = compile_restraints_af2(npz, params)
+    elif rst_mode == "idp":
+        rst = compile_restraints_idp(npz, params, use_orient=use_orient)
+    else:
+        raise ValueError(f"unknown rst_mode {rst_mode!r}")
 
-    stages = _stage_masks_centroid(rst, seq, mode, pcut)
+    stages = _stage_masks_centroid(rst, seq, mode, pcut,
+                                   idr=npz.get("idr"))
     stacked = jax.tree.map(lambda *ms: jnp.stack(ms), *stages)
     relax1 = restraint_masks(rst, seq, 1, L, pcut=0.15, nogly=True)
     relax2 = restraint_masks(rst, seq, 1, L, pcut=0.30, nogly=True)
@@ -202,7 +236,7 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
 
     x, f = _protocol_jit(x0, rst, stacked, relax1, relax2,
                          n_centroid_stages=len(stages), fastrelax=fastrelax,
-                         max_iter=max_iter)
+                         max_iter=max_iter, dist_on_ca=dist_on_ca)
 
     t = x.reshape(-1, 3, L)
     atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
