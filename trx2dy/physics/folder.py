@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from trx2dy.geometry.nerf import build_backbone
 from trx2dy.physics.energy import (
     EnergyWeights, SCOREFXN_CENT, SCOREFXN1, SCOREFXN_VDW, SCOREFXN_CART,
-    pose_energy,
+    pose_energy, pose_energy_weighted, weights_to_vec,
 )
 from trx2dy.physics.restraints import (
     FoldParams, RestraintSet, RestraintMasks, compile_restraints,
@@ -185,12 +185,88 @@ def _protocol_jit(x0, rst, stage_masks, relax1_masks, relax2_masks,
                      n_centroid_stages, fastrelax, max_iter, dist_on_ca)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _stage_vdw_jit(x, freeze, max_iter):
+    """vdw+rama-only stage (initial clash removal): no restraint terms in
+    the program at all — the pre-restraint phase is ~10x cheaper per
+    iteration than the full energy."""
+    def fun(xx):
+        B = xx.shape[0]
+        t = xx.reshape(B, 3, -1)
+        return jax.vmap(lambda tt: pose_energy(tt, None, None,
+                                               SCOREFXN_VDW))(t)
+    return lbfgs_minimize(fun, x, max_iter=max_iter, freeze=freeze)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "dist_on_ca"))
+def _stage_jit(x, rst, masks, w_vec, freeze, max_iter, dist_on_ca=False):
+    """One L-BFGS stage with the score function as DATA (w_vec): a single
+    compiled program serves every stage of the protocol, every dynamics
+    iteration, and both NMR/X-ray models — ~10x lower compile latency than
+    tracing the whole protocol, and each device call is bounded (tunnel
+    friendly)."""
+    def fun(xx):
+        B = xx.shape[0]
+        t = xx.reshape(B, 3, -1)
+        return jax.vmap(pose_energy_weighted,
+                        in_axes=(0, None, None, None, None))(
+            t, rst, masks, w_vec, dist_on_ca)
+    return lbfgs_minimize(fun, x, max_iter=max_iter, freeze=freeze)
+
+
+def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
+                     fastrelax: bool, max_iter: int, dist_on_ca: bool):
+    """Host-orchestrated protocol over the single compiled stage program."""
+    B = x0.shape[0]
+    no_freeze = jnp.zeros((B,), bool)
+    empty = jax.tree.map(jnp.zeros_like, stages[0])
+    w_vdw = weights_to_vec(SCOREFXN_VDW)
+    w_cent = weights_to_vec(SCOREFXN_CENT)
+    w_cart = weights_to_vec(SCOREFXN_CART)
+    w_sf1 = weights_to_vec(SCOREFXN1)
+    w_relax = weights_to_vec(SCOREFXN_RELAX)
+
+    def stage(x, masks, w, freeze=no_freeze, iters=max_iter):
+        return _stage_jit(x, rst, masks, w, freeze, iters, dist_on_ca).x
+
+    def vdw_scores(x):
+        return _stage_vdw_jit(x, ~no_freeze, 1).f     # freeze-all = score
+
+    def remove_clash(x, w_min, masks, iters):
+        for _ in range(CLASH_ROUNDS):
+            active = np.asarray(vdw_scores(x)) >= CLASH_SCORE_CUTOFF
+            if not active.any():
+                break
+            x = stage(x, masks, w_min, freeze=jnp.asarray(~active),
+                      iters=iters)
+        return x
+
+    # initial clash removal: vdw-only program, no restraints
+    for _ in range(CLASH_ROUNDS):
+        active = np.asarray(vdw_scores(x0)) >= CLASH_SCORE_CUTOFF
+        if not active.any():
+            break
+        x0 = _stage_vdw_jit(x0, jnp.asarray(~active), 500).x
+    x = x0
+    for masks in stages:
+        for _ in range(3):
+            x = stage(x, masks, w_cent)
+        x = stage(x, masks, w_cart)
+        x = remove_clash(x, w_sf1, masks, max_iter)
+    if fastrelax:
+        x = stage(x, relax1_masks, w_relax)
+        x = stage(x, relax2_masks, w_relax)
+    f = _stage_jit(x, rst, stages[-1], w_cent, ~no_freeze, 1, dist_on_ca).f
+    return x, f
+
+
 def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
                   mode: int = 2, use_orient: bool = True,
                   fastrelax: bool = True, pcut: Optional[float] = None,
                   params: FoldParams = FoldParams(), max_iter: int = 1000,
                   x0: Optional[jnp.ndarray] = None,
-                  rst_mode: str = "no-idp") -> FoldResult:
+                  rst_mode: str = "no-idp",
+                  staged_execution: bool = True) -> FoldResult:
     """Fold an ensemble of decoys from predicted geometry histograms.
 
     Args:
@@ -234,9 +310,15 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
         x0 = random_torsions(key, L, n_decoys)
     x0 = x0.reshape(x0.shape[0], 3 * L)
 
-    x, f = _protocol_jit(x0, rst, stacked, relax1, relax2,
-                         n_centroid_stages=len(stages), fastrelax=fastrelax,
-                         max_iter=max_iter, dist_on_ca=dist_on_ca)
+    if staged_execution:
+        x, f = _protocol_staged(x0, rst, stages, relax1, relax2,
+                                fastrelax=fastrelax, max_iter=max_iter,
+                                dist_on_ca=dist_on_ca)
+    else:
+        x, f = _protocol_jit(x0, rst, stacked, relax1, relax2,
+                             n_centroid_stages=len(stages),
+                             fastrelax=fastrelax, max_iter=max_iter,
+                             dist_on_ca=dist_on_ca)
 
     t = x.reshape(-1, 3, L)
     atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
