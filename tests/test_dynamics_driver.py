@@ -181,3 +181,21 @@ class TestAnalysisCLI:
         res = save_cluster_result(REF_PDB_DIR, n_clusters=50,
                                   output_dir=str(tmp_path / "c2"))
         assert res == "no_cluster"
+
+
+class TestChains:
+    def test_chain_mode_produces_decoys(self, tmp_path):
+        L = 18
+        seq = "ARNDCQEGHILKMFPSTW"
+        npz = _rand_npz(L, key=9)
+        cfg = DynamicsConfig(init_num=2, Nmax=4, max_iter=10,
+                             fastrelax=False, n_chains=2)
+        last = generate_ensemble("c", str(tmp_path / "npz"),
+                                 str(tmp_path / "pdb"), npz, seq, cfg,
+                                 jax.random.PRNGKey(0))
+        pdbs = sorted(os.listdir(tmp_path / "pdb"))
+        # 2 initial + up to Nmax chain decoys, contiguous numbering
+        assert "initial0.pdb" in pdbs and "c1.pdb" in pdbs
+        assert last <= cfg.Nmax
+        # per-decoy npz checkpoints exist
+        assert os.path.exists(tmp_path / "npz" / "c1.npz")

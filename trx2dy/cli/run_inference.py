@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_iter", type=int, default=1000,
                    help="L-BFGS iteration cap per minimization stage")
+    p.add_argument("--n_chains", type=int, default=1,
+                   help="parallel dampening chains per model (1 = the "
+                        "reference's sequential sampler; >1 batches K "
+                        "independent chains per device step)")
     return p
 
 
@@ -50,7 +54,8 @@ def main(argv=None) -> None:
     cfg = DynamicsConfig(init_num=args.init_num, Nmax=args.Nmax,
                          angle=args.angle,
                          mult_two_models=args.mult_two_models,
-                         seed=args.seed, max_iter=args.max_iter)
+                         seed=args.seed, max_iter=args.max_iter,
+                         n_chains=args.n_chains)
 
     if args.name_lst:
         if not args.fasta_dir or not args.msa_dir:

@@ -52,6 +52,7 @@ class DynamicsConfig:
     fastrelax: bool = True
     max_iter: int = 1000
     seed: int = 0
+    n_chains: int = 1
     fold_kwargs: dict = field(default_factory=dict)
 
 
@@ -83,8 +84,18 @@ def generate_ensemble(pdb_name: str, processed_npz_dir: str,
                       begin_num: int = 0) -> int:
     """Reference generate_npz_and_pdb (run_inference.py:16-144).
 
+    With cfg.n_chains > 1 the iterative sampler runs K independent dampening
+    chains batched on one chip (TPU-native throughput redesign: the
+    reference's loop is strictly sequential, one decoy per iteration) —
+    seeded from the K most reliable initial decoys, producing the same
+    kind of ensemble ~K times faster in wall-clock.
+
     Returns the index of the last generated structure.
     """
+    if cfg.n_chains > 1:
+        return _generate_ensemble_chains(pdb_name, processed_npz_dir,
+                                         pred_pdb_dir, initial_npz, seq,
+                                         cfg, key, begin_num)
     os.makedirs(processed_npz_dir, exist_ok=True)
     os.makedirs(pred_pdb_dir, exist_ok=True)
     if isinstance(initial_npz, (str, os.PathLike)):
@@ -274,3 +285,66 @@ def run_single(name: str, fasta_file: str, msa_file: Optional[str],
     flatten_directory(save_pdb_dir)
     rename_to_conf(save_pdb_dir, num)
     return save_content
+
+
+def _generate_ensemble_chains(pdb_name, processed_npz_dir, pred_pdb_dir,
+                              initial_npz, seq, cfg: DynamicsConfig,
+                              key: jax.Array, begin_num: int = 0) -> int:
+    """K-chain batched variant of the iterative sampler."""
+    from trx2dy.physics.folder import fold_chains
+
+    os.makedirs(processed_npz_dir, exist_ok=True)
+    os.makedirs(pred_pdb_dir, exist_ok=True)
+    if isinstance(initial_npz, (str, os.PathLike)):
+        initial_npz = dict(np.load(initial_npz))
+    hist0 = histograms_from_npz(initial_npz)
+    K = cfg.n_chains
+
+    N = cfg.init_num
+    init_paths = [os.path.join(pred_pdb_dir, f"initial{i}.pdb")
+                  for i in range(N)]
+    key, k_init = jax.random.split(key)
+    res = _fold_and_write(hist0, seq, k_init, N, init_paths, cfg)
+    scores = np.asarray(jax.vmap(reliability_score)(res.torsions))
+    seed_order = np.argsort(scores)[::-1][:K]
+
+    # chain k seeds from the k-th most reliable initial decoy
+    chains = []
+    for k in range(K):
+        fact = _measure(res, int(seed_order[k % len(seed_order)]))
+        chains.append(dampen_step(hist0, fact, sigma=cfg.sigma,
+                                  angle=cfg.angle))
+    old_tmps = list(chains)
+    active = np.ones(K, bool)
+
+    produced = begin_num
+    npz_pattern = os.path.join(processed_npz_dir, pdb_name + "{k}.npz")
+    np.savez_compressed(npz_pattern.format(k=begin_num + 1),
+                        **histograms_to_npz(chains[0]))
+
+    while active.any() and produced - begin_num < cfg.Nmax:
+        key, k_it = jax.random.split(key)
+        npzs = [{"dist": h.dist, "omega": h.omega, "theta": h.theta,
+                 "phi": h.phi} for h in chains]
+        fr = fold_chains(npzs, seq, k_it, mode=cfg.mode,
+                         use_orient=cfg.angle, fastrelax=cfg.fastrelax,
+                         max_iter=cfg.max_iter)
+        atoms_np = {a: np.asarray(v) for a, v in fr.atoms.items()}
+        for k in range(K):
+            if not active[k] or produced - begin_num >= cfg.Nmax:
+                continue
+            produced += 1
+            write_pdb_backbone(
+                os.path.join(pred_pdb_dir, f"{pdb_name}{produced}.pdb"),
+                seq, {a: v[k] for a, v in atoms_np.items()})
+            fact = measure_decoy(fr.atoms["N"][k], fr.atoms["CA"][k],
+                                 fr.atoms["C"][k], fr.atoms["CB"][k])
+            new_hist = dampen_step(chains[k], fact, sigma=cfg.sigma,
+                                   angle=cfg.angle)
+            np.savez_compressed(npz_pattern.format(k=produced + 1),
+                                **histograms_to_npz(new_hist))
+            if convergence_delta(old_tmps[k], new_hist) < CONVERGE_TOL:
+                active[k] = False
+            chains[k] = new_hist
+            old_tmps[k] = new_hist
+    return produced

@@ -214,9 +214,28 @@ def _stage_jit(x, rst, masks, w_vec, freeze, max_iter, dist_on_ca=False):
     return lbfgs_minimize(fun, x, max_iter=max_iter, freeze=freeze)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter", "dist_on_ca"))
+def _stage_multi_jit(x, rst_b, masks_b, w_vec, freeze, max_iter,
+                     dist_on_ca=False):
+    """Stage program with PER-DECOY restraint tables (leading batch axis on
+    every rst/mask leaf) — the parallel-chain Dynamics sampler folds one
+    decoy per chain per iteration, each chain with its own dampened
+    histograms, as one device program."""
+    def fun(xx):
+        B = xx.shape[0]
+        t = xx.reshape(B, 3, -1)
+        return jax.vmap(pose_energy_weighted,
+                        in_axes=(0, 0, 0, None, None))(
+            t, rst_b, masks_b, w_vec, dist_on_ca)
+    return lbfgs_minimize(fun, x, max_iter=max_iter, freeze=freeze)
+
+
 def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
-                     fastrelax: bool, max_iter: int, dist_on_ca: bool):
-    """Host-orchestrated protocol over the single compiled stage program."""
+                     fastrelax: bool, max_iter: int, dist_on_ca: bool,
+                     multi_rst: bool = False):
+    """Host-orchestrated protocol over the single compiled stage program.
+
+    multi_rst: rst/mask leaves carry a leading per-decoy axis (chain mode)."""
     B = x0.shape[0]
     no_freeze = jnp.zeros((B,), bool)
     empty = jax.tree.map(jnp.zeros_like, stages[0])
@@ -225,9 +244,10 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
     w_cart = weights_to_vec(SCOREFXN_CART)
     w_sf1 = weights_to_vec(SCOREFXN1)
     w_relax = weights_to_vec(SCOREFXN_RELAX)
+    stage_prog = _stage_multi_jit if multi_rst else _stage_jit
 
     def stage(x, masks, w, freeze=no_freeze, iters=max_iter):
-        return _stage_jit(x, rst, masks, w, freeze, iters, dist_on_ca).x
+        return stage_prog(x, rst, masks, w, freeze, iters, dist_on_ca).x
 
     def vdw_scores(x):
         return _stage_vdw_jit(x, ~no_freeze, 1).f     # freeze-all = score
@@ -256,7 +276,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
     if fastrelax:
         x = stage(x, relax1_masks, w_relax)
         x = stage(x, relax2_masks, w_relax)
-    f = _stage_jit(x, rst, stages[-1], w_cent, ~no_freeze, 1, dist_on_ca).f
+    f = stage_prog(x, rst, stages[-1], w_cent, ~no_freeze, 1, dist_on_ca).f
     return x, f
 
 
@@ -321,5 +341,52 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
                              dist_on_ca=dist_on_ca)
 
     t = x.reshape(-1, 3, L)
+    atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
+    return FoldResult(torsions=t, energy=f, atoms=atoms)
+
+
+def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
+                use_orient: bool = True, fastrelax: bool = True,
+                pcut: Optional[float] = None,
+                params: FoldParams = FoldParams(), max_iter: int = 1000,
+                x0: Optional[jnp.ndarray] = None) -> FoldResult:
+    """Fold ONE decoy per chain, each chain with its OWN restraint set.
+
+    The TPU-native throughput axis for the Dynamics sampler: K independent
+    dampening chains advance together as one batched minimization instead of
+    the reference's strictly sequential single chain (run_inference.py:97-139
+    folds one decoy per iteration). npz_list is one histogram dict per chain.
+    """
+    L = len(seq)
+    K = len(npz_list)
+    pcut = params.PCUT if pcut is None else pcut
+    rsts = [compile_restraints(npz, params, use_orient=use_orient)
+            for npz in npz_list]
+    rst_b = jax.tree.map(lambda *xs: jnp.stack(xs), *rsts)
+
+    stage_masks = []
+    n_stages = None
+    for rst in rsts:
+        st = _stage_masks_centroid(rst, seq, mode, pcut)
+        n_stages = len(st)
+        stage_masks.append(st)
+    stages = [jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[sm[s] for sm in stage_masks])
+              for s in range(n_stages)]
+    relax1 = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[restraint_masks(r, seq, 1, L, pcut=0.15,
+                                            nogly=True) for r in rsts])
+    relax2 = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[restraint_masks(r, seq, 1, L, pcut=0.30,
+                                            nogly=True) for r in rsts])
+
+    if x0 is None:
+        x0 = random_torsions(key, L, K)
+    x0 = x0.reshape(K, 3 * L)
+
+    x, f = _protocol_staged(x0, rst_b, stages, relax1, relax2,
+                            fastrelax=fastrelax, max_iter=max_iter,
+                            dist_on_ca=False, multi_rst=True)
+    t = x.reshape(K, 3, L)
     atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
     return FoldResult(torsions=t, energy=f, atoms=atoms)
