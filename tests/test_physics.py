@@ -232,3 +232,51 @@ class TestFolder:
                             max_iter=150, fastrelax=False)
         # folded energy must be far below any random-coil value
         assert float(res.energy[0]) < -1e5
+
+
+class TestRestraintVariants:
+    def test_af2_mode_folds(self):
+        L = 14
+        rng = np.random.default_rng(11)
+        d64 = rng.random((L, L, 64), dtype=np.float32)
+        d64 /= d64.sum(-1, keepdims=True)
+        npz = {"dist": d64, "bins": np.linspace(2.3125, 21.6875, 63)}
+        res = fold_ensemble(npz, "A" * L, jax.random.PRNGKey(0), 1,
+                            max_iter=10, use_orient=False, fastrelax=False,
+                            rst_mode="af2")
+        assert np.isfinite(np.asarray(res.energy)).all()
+
+    def test_af2_rejects_orient(self):
+        with pytest.raises(ValueError):
+            fold_ensemble({"dist": np.zeros((4, 4, 64))}, "AAAA",
+                          jax.random.PRNGKey(0), 1, use_orient=True,
+                          rst_mode="af2")
+
+    def test_idp_mode3_folds(self):
+        L = 14
+        npz = _rand_npz(L, key=12)
+        npz["idr"] = np.random.default_rng(12).integers(0, 2, L)
+        res = fold_ensemble(npz, "A" * L, jax.random.PRNGKey(0), 1, mode=3,
+                            max_iter=10, fastrelax=False, rst_mode="idp")
+        assert np.isfinite(np.asarray(res.energy)).all()
+
+    def test_gpcr_mode_folds(self):
+        L = 12
+        rng = np.random.default_rng(13)
+        npz = _rand_npz(L, key=13)
+        npz["idr"] = rng.integers(0, 2, (L, L))
+        known = {"dist": rng.uniform(3, 19, (2, L, L)).astype(np.float32),
+                 "omega": rng.uniform(-3, 3, (2, L, L)).astype(np.float32),
+                 "theta_asym": rng.uniform(-3, 3, (2, L, L)).astype(
+                     np.float32),
+                 "phi_asym": rng.uniform(0.1, 3, (2, L, L)).astype(
+                     np.float32)}
+        res = fold_ensemble(npz, "A" * L, jax.random.PRNGKey(0), 1,
+                            max_iter=10, fastrelax=False, rst_mode="gpcr",
+                            known_npz=known)
+        assert np.isfinite(np.asarray(res.energy)).all()
+
+    def test_gpcr_requires_known(self):
+        with pytest.raises(ValueError):
+            fold_ensemble(_rand_npz(6), "AAAAAA", jax.random.PRNGKey(0), 1,
+                          rst_mode="gpcr")

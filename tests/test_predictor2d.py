@@ -120,3 +120,30 @@ class TestTorchOracle:
             t = out_t[k][0].numpy()
             j = np.asarray(out_j[k])
             assert np.abs(t - j).max() < 1e-4, k
+
+
+class TestMixedPrecision:
+    def test_bf16_trunk_close_to_f32(self):
+        from trx2dy.models.predictor2d import cast_params
+        params = init_params(jax.random.PRNGKey(5), depth=1)
+        msa = jnp.asarray(_rand_msa(4, 10, key=5))
+        f2d = get_f2d(msa)
+        out32 = predictor2d_apply(params, f2d, msa, depth=1)
+        out16 = predictor2d_apply(cast_params(params),
+                                  f2d.astype(jnp.bfloat16), msa, depth=1)
+        for k in out32:
+            p32 = jax.nn.softmax(out32[k], -1)
+            p16 = jax.nn.softmax(out16[k].astype(jnp.float32), -1)
+            # same tolerance class as the reference's own AMP autocast
+            assert float(jnp.abs(p32 - p16).max()) < 0.08, k
+
+
+class TestProfiling:
+    def test_phase_timer(self):
+        from trx2dy.utils.profiling import PhaseTimer
+        t = PhaseTimer()
+        with t.phase("a"):
+            sum(range(1000))
+        with t.phase("a"):
+            pass
+        assert t.counts["a"] == 2 and "a" in t.report()

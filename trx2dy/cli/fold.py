@@ -18,9 +18,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-FASTA", type=str, required=True)
     p.add_argument("-OUT", type=str, required=True)
     p.add_argument("-pd", type=float, dest="pcut", default=0.05)
-    p.add_argument("-m", type=int, dest="mode", default=2, choices=[0, 1, 2])
+    p.add_argument("-m", type=int, dest="mode", default=2,
+                   choices=[0, 1, 2, 3])
     p.add_argument("-r", type=str, dest="rst", default="no-idp",
-                   choices=["no-idp"])
+                   choices=["no-idp", "idp", "af2", "gpcr"])
+    p.add_argument("-KNOWN", type=str, default=None,
+                   help="known-structure npz (gpcr mode)")
     p.add_argument("--orient", dest="use_orient", action="store_true",
                    default=True)
     p.add_argument("--no-orient", dest="use_orient", action="store_false")
@@ -43,10 +46,12 @@ def main(argv=None) -> None:
 
     npz = dict(np.load(args.NPZ))
     seq = read_fasta(args.FASTA)
+    known = dict(np.load(args.KNOWN)) if args.KNOWN else None
     res = fold_ensemble(npz, seq, jax.random.PRNGKey(args.seed),
                         n_decoys=args.n_decoys, mode=args.mode,
                         use_orient=args.use_orient, fastrelax=args.fastrelax,
-                        pcut=args.pcut, max_iter=args.steps)
+                        pcut=args.pcut, max_iter=args.steps,
+                        rst_mode=args.rst, known_npz=known)
     atoms = {k: np.asarray(v) for k, v in res.atoms.items()}
     if args.n_decoys == 1:
         write_pdb_backbone(args.OUT, seq, {k: v[0] for k, v in atoms.items()})

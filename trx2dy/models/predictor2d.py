@@ -47,31 +47,59 @@ _HI = jax.lax.Precision.HIGHEST
 # --------------------------------------------------------------------------
 
 def linear(p: Params, name: str, x, bias: bool = True):
-    """torch nn.Linear: x @ W^T + b; W is (out, in)."""
-    y = jnp.einsum("...i,oi->...o", x, p[f"{name}.weight"], precision=_HI)
+    """torch nn.Linear: x @ W^T + b; W is (out, in). In bf16 mode (params
+    cast via cast_params) the matmul runs on the MXU in bf16 with f32
+    accumulation (precision=HIGHEST)."""
+    w = p[f"{name}.weight"]
+    y = jnp.einsum("...i,oi->...o", x.astype(w.dtype), w, precision=_HI)
     if bias:
         y = y + p[f"{name}.bias"]
     return y
 
 
+def cast_params(p: Params, dtype=jnp.bfloat16) -> Params:
+    """Cast matmul/conv weights to a compute dtype, keeping norm affines in
+    f32 — the torch.amp.autocast equivalent (predict.py:55,
+    main_chunk.py:147) for the trunk."""
+    out = {}
+    for k, v in p.items():
+        is_norm = (".norm" in k or "bn" in k.split(".")[-2]
+                   if len(k.split(".")) > 1 else False) \
+            or k.endswith("layer_norm.weight") or k.endswith("layer_norm.bias")
+        out[k] = v if (is_norm or v.dtype != jnp.float32) \
+            else v.astype(dtype) if v.ndim > 1 else v
+    return out
+
+
 def layer_norm(p: Params, name: str, x):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) / jnp.sqrt(var + _EPS_LN) * p[f"{name}.weight"] \
-        + p[f"{name}.bias"]
+    """Normalization statistics always in f32 (bf16 means over hundreds of
+    elements drift), output in the input dtype — matches torch AMP's
+    norm-in-fp32 policy."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mu) / jnp.sqrt(var + _EPS_LN) \
+        * p[f"{name}.weight"].astype(jnp.float32) \
+        + p[f"{name}.bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def instance_norm(p: Params, name: str, x):
-    """torch InstanceNorm2d(affine=True) on channel-last (H, W, C) input."""
-    mu = jnp.mean(x, axis=(0, 1), keepdims=True)
-    var = jnp.var(x, axis=(0, 1), keepdims=True)
-    return (x - mu) / jnp.sqrt(var + _EPS_IN) * p[f"{name}.weight"] \
-        + p[f"{name}.bias"]
+    """torch InstanceNorm2d(affine=True) on channel-last (H, W, C) input;
+    statistics in f32 (see layer_norm)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=(0, 1), keepdims=True)
+    var = jnp.var(x32, axis=(0, 1), keepdims=True)
+    out = (x32 - mu) / jnp.sqrt(var + _EPS_IN) \
+        * p[f"{name}.weight"].astype(jnp.float32) \
+        + p[f"{name}.bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def conv2d(p: Params, name: str, x):
     """torch Conv2d on channel-last (H, W, C); kernel stored (O, I, kh, kw)."""
     w = p[f"{name}.weight"]
+    x = x.astype(w.dtype)
     if w.shape[-1] == 1 and w.shape[-2] == 1:    # 1x1 -> plain matmul
         y = jnp.einsum("hwi,oi->hwo", x, w[:, :, 0, 0], precision=_HI)
     else:

@@ -42,7 +42,8 @@ from trx2dy.physics.energy import (
 )
 from trx2dy.physics.restraints import (
     FoldParams, RestraintSet, RestraintMasks, compile_restraints,
-    compile_restraints_af2, compile_restraints_idp, restraint_masks,
+    compile_restraints_af2, compile_restraints_idp, compile_restraints_gpcr,
+    restraint_masks,
 )
 from trx2dy.physics.minimize import lbfgs_minimize
 
@@ -285,7 +286,7 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
                   fastrelax: bool = True, pcut: Optional[float] = None,
                   params: FoldParams = FoldParams(), max_iter: int = 1000,
                   x0: Optional[jnp.ndarray] = None,
-                  rst_mode: str = "no-idp",
+                  rst_mode: str = "no-idp", known_npz: Optional[dict] = None,
                   staged_execution: bool = True) -> FoldResult:
     """Fold an ensemble of decoys from predicted geometry histograms.
 
@@ -317,6 +318,12 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
         rst = compile_restraints_af2(npz, params)
     elif rst_mode == "idp":
         rst = compile_restraints_idp(npz, params, use_orient=use_orient)
+    elif rst_mode == "gpcr":
+        if known_npz is None:
+            raise ValueError("rst_mode='gpcr' requires known_npz "
+                             "(folding CLI -KNOWN)")
+        rst = compile_restraints_gpcr(npz, known_npz, params,
+                                      use_orient=use_orient)
     else:
         raise ValueError(f"unknown rst_mode {rst_mode!r}")
 

@@ -298,3 +298,131 @@ def compile_restraints_idp(npz: dict, params: FoldParams = FoldParams(),
         out = out._replace(phi=fit_natural_cubic(planar_knots(p),
                                                  jnp.asarray(y)))
     return out
+
+
+def _gaussian_vote(onehot_stack: np.ndarray) -> np.ndarray:
+    """get_sample (utils_ros.py:458-483): blend N known-structure one-hot
+    histograms into a soft distribution by voting Gaussians per realized bin,
+    width set by the vote count (<N/3 -> 1.5, >2N/3 -> 0.5, else 1.0).
+
+    Args:
+      onehot_stack: (N, L, L, C) one-hot histograms of the known structures.
+    Returns (L, L, C) soft histogram (divided by N).
+    """
+    N, _, _, C = onehot_stack.shape
+    counts = onehot_stack.sum(0)                       # (L, L, C)
+    std = np.where(counts < N / 3.0, 1.5,
+                   np.where(counts > 2.0 * N / 3.0, 0.5, 1.0))
+    x = np.arange(C, dtype=np.float64)
+    out = np.zeros(counts.shape, np.float64)
+    for k in range(C):
+        c_k = counts[:, :, k]
+        if not c_k.any():
+            continue
+        s = std[:, :, k][..., None]
+        gauss = (np.exp(-((x[None, None, :] - k) ** 2) / (2.0 * s ** 2))
+                 / np.sqrt(2.0 * np.pi * s ** 2))
+        out += c_k[..., None] * gauss
+    return (out / N).astype(np.float32)
+
+
+def _linear_blend(test: np.ndarray, cate: np.ndarray, bins: np.ndarray,
+                  mask: np.ndarray, rg: int = 5) -> np.ndarray:
+    """ling_sumlt (utils_ros.py:375-394), vectorized: for masked pairs,
+    replace the predicted table's values at the rg lowest-energy bins of the
+    known-structure table by a linear interpolation between the predicted
+    values at the bracketing bins — flattening the predicted restraint over
+    the region the known structures favour."""
+    order = np.argsort(cate, axis=-1)[..., :rg]        # (L, L, rg)
+    lo = order.min(-1)
+    hi = order.max(-1)
+    low = np.where(lo - 1 < 0, lo, lo - 1)
+    high = np.where(hi + 1 >= len(bins), hi, hi + 1)
+    t_low = np.take_along_axis(test, low[..., None], -1)[..., 0]
+    t_high = np.take_along_axis(test, high[..., None], -1)[..., 0]
+    denom = bins[low] - bins[high]
+    denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+    interp = ((bins[order] - bins[high][..., None]) / denom[..., None]
+              * (t_low - t_high)[..., None] + t_high[..., None])
+    out = test.copy()
+    ii, jj = np.where(mask)
+    out[ii[:, None], jj[:, None], order[ii, jj]] = interp[ii, jj]
+    return out
+
+
+def compile_restraints_gpcr(npz: dict, known_npz: dict,
+                            params: FoldParams = FoldParams(),
+                            use_orient: bool = True) -> "RestraintSet":
+    """GPCR two-conformation restraints (-r gpcr, utils_ros.py:484-654
+    gen_gpcr_rst): predicted tables, with the regions the KNOWN structures
+    realize linearly flattened on idr-masked pairs, so minimization can fall
+    into either the predicted or the known conformation.
+
+    known_npz: real-valued geometry maps of N known structures —
+      'dist' (N, L, L); when use_orient also 'omega', 'theta_asym',
+      'phi_asym' (N, L, L) (reference key names, utils_ros.py:488).
+    npz additionally carries 'idr' (the blend mask).
+    """
+    from trx2dy.geometry.binning import bin_geometry_maps
+    import jax.numpy as _jnp
+
+    p = params
+    std_set = compile_restraints(npz, params, use_orient=use_orient)
+    idr = np.asarray(npz["idr"], dtype=bool)
+    if idr.ndim == 1:
+        idr = idr[:, None] | idr[None, :]
+
+    known_dist = np.asarray(known_npz["dist"], np.float32)
+    N = known_dist.shape[0]
+
+    def onehots(key_real, key_bin):
+        stack = []
+        for n in range(N):
+            maps = dict(dist=known_dist[n])
+            if use_orient:
+                maps["omega"] = np.asarray(known_npz["omega"][n], np.float32)
+                maps["theta"] = np.asarray(known_npz["theta_asym"][n],
+                                           np.float32)
+                maps["phi"] = np.asarray(known_npz["phi_asym"][n], np.float32)
+                h = bin_geometry_maps(_jnp.asarray(maps["dist"]),
+                                      _jnp.asarray(maps["omega"]),
+                                      _jnp.asarray(maps["theta"]),
+                                      _jnp.asarray(maps["phi"]), angle=True)
+            else:
+                h = bin_geometry_maps(_jnp.asarray(maps["dist"]), angle=False)
+            stack.append(np.asarray(h[key_bin]))
+        return np.stack(stack)
+
+    bins_d = dist_knots(p)
+    cate_dist = _gaussian_vote(onehots("dist", "dist"))
+    bkgr = (bins_d[3:] / p.DCUT) ** p.ALPHA
+    attr = (-np.log((cate_dist[:, :, 5:] + p.MEFF)
+                    / (cate_dist[:, :, -1][:, :, None] * bkgr + 1e-6))
+            + p.EBASE)
+    repul = np.maximum(attr[:, :, 0], 0.0)[:, :, None] + np.asarray(p.EREP)
+    cate_table = np.concatenate([repul, attr], -1).astype(np.float32)
+    ydist = _linear_blend(np.asarray(std_set.dist.y), cate_table, bins_d, idr)
+    out = std_set._replace(dist=fit_natural_cubic(bins_d, jnp.asarray(ydist)))
+
+    if use_orient:
+        def cate_torsion(key_bin):
+            cate = _gaussian_vote(onehots(None, key_bin))
+            y = -np.log((cate + p.MEFF) / (cate[:, :, -1] + p.MEFF)[:, :, None])
+            return np.concatenate([y[:, :, -2:], y[:, :, 1:], y[:, :, 1:3]],
+                                  -1).astype(np.float32)
+
+        tk = torsion_knots(p)
+        for key in ("omega", "theta"):
+            y = _linear_blend(np.asarray(getattr(out, key).y),
+                              cate_torsion(key), tk, idr)
+            out = out._replace(**{key: fit_natural_cubic(tk, jnp.asarray(y))})
+
+        cate = _gaussian_vote(onehots(None, "phi"))
+        yraw = -np.log((cate + p.MEFF) / (cate[:, :, -1] + p.MEFF)[:, :, None])
+        ycate = np.concatenate([np.flip(yraw[:, :, 1:3], -1), yraw[:, :, 1:],
+                                np.flip(yraw[:, :, -2:], -1)],
+                               -1).astype(np.float32)
+        pk = planar_knots(p)
+        y = _linear_blend(np.asarray(out.phi.y), ycate, pk, idr)
+        out = out._replace(phi=fit_natural_cubic(pk, jnp.asarray(y)))
+    return out
