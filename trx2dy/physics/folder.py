@@ -45,7 +45,7 @@ from trx2dy.physics.restraints import (
     compile_restraints_af2, compile_restraints_idp, compile_restraints_gpcr,
     restraint_masks,
 )
-from trx2dy.physics.minimize import lbfgs_minimize
+from trx2dy.physics.minimize import lbfgs_minimize, lbfgs_init, lbfgs_run
 
 # FastRelax's score function: ref2015_cart + constraint weights 5/1/1
 # (folding.py:200-204). Torsion-space substitute keeps the centroid terms.
@@ -186,72 +186,85 @@ def _protocol_jit(x0, rst, stage_masks, relax1_masks, relax2_masks,
                      n_centroid_stages, fastrelax, max_iter, dist_on_ca)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def _stage_vdw_jit(x, freeze, max_iter):
-    """vdw+rama-only stage (initial clash removal): no restraint terms in
-    the program at all — the pre-restraint phase is ~10x cheaper per
-    iteration than the full energy."""
+# chunk of L-BFGS iterations per device call: bounds every XLA execution to
+# seconds regardless of batch size / length (remote-TPU RPC safety) while
+# keeping host round trips negligible
+STAGE_CHUNK = 250
+
+
+def _vdw_fun(xx):
+    B = xx.shape[0]
+    t = xx.reshape(B, 3, -1)
+    return jax.vmap(lambda tt: pose_energy(tt, None, None, SCOREFXN_VDW))(t)
+
+
+@jax.jit
+def _vdw_init_jit(x, freeze):
+    return lbfgs_init(_vdw_fun, x, freeze=freeze)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _vdw_run_jit(state, chunk):
+    return lbfgs_run(_vdw_fun, state, max_iter=chunk)
+
+
+def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi):
+    in_axes = (0, 0, 0, None, None) if multi else (0, None, None, None, None)
+
     def fun(xx):
         B = xx.shape[0]
         t = xx.reshape(B, 3, -1)
-        return jax.vmap(lambda tt: pose_energy(tt, None, None,
-                                               SCOREFXN_VDW))(t)
-    return lbfgs_minimize(fun, x, max_iter=max_iter, freeze=freeze)
-
-
-@functools.partial(jax.jit, static_argnames=("max_iter", "dist_on_ca"))
-def _stage_jit(x, rst, masks, w_vec, freeze, max_iter, dist_on_ca=False):
-    """One L-BFGS stage with the score function as DATA (w_vec): a single
-    compiled program serves every stage of the protocol, every dynamics
-    iteration, and both NMR/X-ray models — ~10x lower compile latency than
-    tracing the whole protocol, and each device call is bounded (tunnel
-    friendly)."""
-    def fun(xx):
-        B = xx.shape[0]
-        t = xx.reshape(B, 3, -1)
-        return jax.vmap(pose_energy_weighted,
-                        in_axes=(0, None, None, None, None))(
+        return jax.vmap(pose_energy_weighted, in_axes=in_axes)(
             t, rst, masks, w_vec, dist_on_ca)
-    return lbfgs_minimize(fun, x, max_iter=max_iter, freeze=freeze)
+    return fun
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "dist_on_ca"))
-def _stage_multi_jit(x, rst_b, masks_b, w_vec, freeze, max_iter,
-                     dist_on_ca=False):
-    """Stage program with PER-DECOY restraint tables (leading batch axis on
-    every rst/mask leaf) — the parallel-chain Dynamics sampler folds one
-    decoy per chain per iteration, each chain with its own dampened
-    histograms, as one device program."""
-    def fun(xx):
-        B = xx.shape[0]
-        t = xx.reshape(B, 3, -1)
-        return jax.vmap(pose_energy_weighted,
-                        in_axes=(0, 0, 0, None, None))(
-            t, rst_b, masks_b, w_vec, dist_on_ca)
-    return lbfgs_minimize(fun, x, max_iter=max_iter, freeze=freeze)
+@functools.partial(jax.jit, static_argnames=("dist_on_ca", "multi"))
+def _stage_init_jit(x, rst, masks, w_vec, freeze, dist_on_ca=False,
+                    multi=False):
+    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi)
+    return lbfgs_init(fun, x, freeze=freeze)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "dist_on_ca", "multi"))
+def _stage_run_jit(state, rst, masks, w_vec, chunk, dist_on_ca=False,
+                   multi=False):
+    """One bounded chunk of the stage L-BFGS. The score function is DATA
+    (w_vec), so a single compiled program serves every stage of the
+    protocol, every dynamics iteration, and both NMR/X-ray models."""
+    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi)
+    return lbfgs_run(fun, state, max_iter=chunk)
 
 
 def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                      fastrelax: bool, max_iter: int, dist_on_ca: bool,
                      multi_rst: bool = False):
-    """Host-orchestrated protocol over the single compiled stage program.
+    """Host-orchestrated protocol over chunked compiled stage programs.
 
     multi_rst: rst/mask leaves carry a leading per-decoy axis (chain mode)."""
     B = x0.shape[0]
     no_freeze = jnp.zeros((B,), bool)
-    empty = jax.tree.map(jnp.zeros_like, stages[0])
     w_vdw = weights_to_vec(SCOREFXN_VDW)
     w_cent = weights_to_vec(SCOREFXN_CENT)
     w_cart = weights_to_vec(SCOREFXN_CART)
     w_sf1 = weights_to_vec(SCOREFXN1)
     w_relax = weights_to_vec(SCOREFXN_RELAX)
-    stage_prog = _stage_multi_jit if multi_rst else _stage_jit
 
-    def stage(x, masks, w, freeze=no_freeze, iters=max_iter):
-        return stage_prog(x, rst, masks, w, freeze, iters, dist_on_ca).x
+    def stage(x, masks, w, freeze=no_freeze, iters=None):
+        iters = max_iter if iters is None else iters
+        st = _stage_init_jit(x, rst, masks, w, freeze, dist_on_ca, multi_rst)
+        remaining = iters
+        while remaining > 0:
+            st = _stage_run_jit(st, rst, masks, w,
+                                min(STAGE_CHUNK, remaining), dist_on_ca,
+                                multi_rst)
+            remaining -= STAGE_CHUNK
+            if bool(np.asarray(jnp.all(st.done))):
+                break
+        return st.x
 
     def vdw_scores(x):
-        return _stage_vdw_jit(x, ~no_freeze, 1).f     # freeze-all = score
+        return _vdw_init_jit(x, ~no_freeze).f
 
     def remove_clash(x, w_min, masks, iters):
         for _ in range(CLASH_ROUNDS):
@@ -263,12 +276,18 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         return x
 
     # initial clash removal: vdw-only program, no restraints
+    x = x0
     for _ in range(CLASH_ROUNDS):
-        active = np.asarray(vdw_scores(x0)) >= CLASH_SCORE_CUTOFF
+        active = np.asarray(vdw_scores(x)) >= CLASH_SCORE_CUTOFF
         if not active.any():
             break
-        x0 = _stage_vdw_jit(x0, jnp.asarray(~active), 500).x
-    x = x0
+        st = _vdw_init_jit(x, jnp.asarray(~active))
+        for _ in range(0, 500, STAGE_CHUNK):
+            st = _vdw_run_jit(st, STAGE_CHUNK)
+            if bool(np.asarray(jnp.all(st.done))):
+                break
+        x = st.x
+
     for masks in stages:
         for _ in range(3):
             x = stage(x, masks, w_cent)
@@ -277,7 +296,8 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
     if fastrelax:
         x = stage(x, relax1_masks, w_relax)
         x = stage(x, relax2_masks, w_relax)
-    f = stage_prog(x, rst, stages[-1], w_cent, ~no_freeze, 1, dist_on_ca).f
+    f = _stage_init_jit(x, rst, stages[-1], w_cent, ~no_freeze, dist_on_ca,
+                        multi_rst).f
     return x, f
 
 

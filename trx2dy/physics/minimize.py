@@ -15,6 +15,11 @@ Semantics matched to the reference MinMover:
   * bounded max iterations per stage (1000 / 500),
   * Armijo sufficient-decrease line search (monotone; Rosetta's nonmonotone
     variant only relaxes acceptance, which a fixed-iteration budget absorbs).
+
+The optimizer state (LBFGSState) is an explicit pytree, so long
+minimizations can run as a sequence of BOUNDED device calls
+(lbfgs_init + lbfgs_run chunks) — keeping any single XLA execution short
+enough for remote-TPU RPC limits and enabling host-side progress reporting.
 """
 from __future__ import annotations
 
@@ -26,7 +31,6 @@ import jax.numpy as jnp
 
 _C1 = 1e-4            # Armijo sufficient-decrease constant
 _MAX_BACKTRACK = 25   # max step halvings per iteration
-_MIN_STEP = 1e-10
 
 
 class LBFGSResult(NamedTuple):
@@ -34,6 +38,22 @@ class LBFGSResult(NamedTuple):
     f: jnp.ndarray          # (B,) final energies
     n_iter: jnp.ndarray     # () iterations executed
     converged: jnp.ndarray  # (B,) convergence flags
+
+
+class LBFGSState(NamedTuple):
+    """Full optimizer state; a plain pytree (chunkable across device calls)."""
+    k: jnp.ndarray        # () iterations so far
+    x: jnp.ndarray        # (B, D)
+    f: jnp.ndarray        # (B,)
+    g: jnp.ndarray        # (B, D)
+    s_hist: jnp.ndarray   # (M, B, D)
+    y_hist: jnp.ndarray   # (M, B, D)
+    rho: jnp.ndarray      # (M, B)
+    valid: jnp.ndarray    # (M, B)
+    done: jnp.ndarray     # (B,) converged-or-frozen
+    frozen: jnp.ndarray   # (B,) caller-frozen decoys
+    fails: jnp.ndarray    # (B,) consecutive line-search failures
+    smalls: jnp.ndarray   # (B,) consecutive below-tolerance improvements
 
 
 def _value_and_grad_batch(fun: Callable) -> Callable:
@@ -97,43 +117,14 @@ def _two_loop(g, s_hist, y_hist, rho, valid):
     return -r
 
 
-def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 1000,
-                   tol: float = 1e-4, history: int = 10,
-                   freeze: Optional[jnp.ndarray] = None) -> LBFGSResult:
-    """Minimize a batch of independent objectives with L-BFGS.
-
-    Args:
-      fun: batched objective, (B, D) -> (B,). Must be jit-traceable.
-      x0: (B, D) initial parameters.
-      max_iter: iteration cap (Rosetta max_iter, folding.py:92-104).
-      tol: fractional energy-change convergence tolerance.
-      history: L-BFGS memory M.
-      freeze: optional (B,) bool; True decoys are left untouched (used by the
-        staged protocol's per-decoy clash gating).
-
-    Returns LBFGSResult. The whole routine is one XLA program: jit/grad-safe,
-    shapes static, batch-native.
-    """
+def lbfgs_init(fun: Callable, x0: jnp.ndarray, history: int = 10,
+               freeze: Optional[jnp.ndarray] = None) -> LBFGSState:
+    """Build the initial optimizer state (one energy+gradient evaluation)."""
     B, D = x0.shape
     M = history
-    vg = _value_and_grad_batch(fun)
-    f0, g0 = vg(x0)
+    f0, g0 = _value_and_grad_batch(fun)(x0)
     frozen0 = jnp.zeros((B,), bool) if freeze is None else freeze
-
-    class State(NamedTuple):
-        k: jnp.ndarray
-        x: jnp.ndarray
-        f: jnp.ndarray
-        g: jnp.ndarray
-        s_hist: jnp.ndarray
-        y_hist: jnp.ndarray
-        rho: jnp.ndarray
-        valid: jnp.ndarray
-        done: jnp.ndarray     # converged-or-frozen per decoy
-        fails: jnp.ndarray    # consecutive line-search failures per decoy
-        smalls: jnp.ndarray   # consecutive below-tolerance improvements
-
-    st0 = State(
+    return LBFGSState(
         k=jnp.asarray(0),
         x=x0, f=f0, g=g0,
         s_hist=jnp.zeros((M, B, D), x0.dtype),
@@ -141,14 +132,24 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 1000,
         rho=jnp.zeros((M, B), x0.dtype),
         valid=jnp.zeros((M, B), bool),
         done=frozen0,
+        frozen=frozen0,
         fails=jnp.zeros((B,), jnp.int32),
         smalls=jnp.zeros((B,), jnp.int32),
     )
 
-    def cond(st: State):
-        return (st.k < max_iter) & ~jnp.all(st.done)
 
-    def body(st: State):
+def lbfgs_run(fun: Callable, st0: LBFGSState, max_iter: int,
+              tol: float = 1e-4) -> LBFGSState:
+    """Advance the optimizer by up to max_iter iterations (resumable)."""
+    B = st0.x.shape[0]
+    M = st0.s_hist.shape[0]
+    vg = _value_and_grad_batch(fun)
+    stop_k = st0.k + max_iter
+
+    def cond(st: LBFGSState):
+        return (st.k < stop_k) & ~jnp.all(st.done)
+
+    def body(st: LBFGSState):
         d = _two_loop(st.g, st.s_hist, st.y_hist, st.rho, st.valid)
         # fall back to steepest descent when not a descent direction
         gd = jnp.sum(st.g * d, axis=-1)
@@ -204,7 +205,8 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 1000,
             jnp.where(good[:, None], y, 0.0)) * keep[None, :, None]
         rho = jnp.roll(st.rho, -1, axis=0).at[M - 1].set(
             jnp.where(good, 1.0 / jnp.maximum(sy, 1e-20), 0.0)) * keep[None, :]
-        valid = jnp.roll(st.valid, -1, axis=0).at[M - 1].set(good) & keep[None, :]
+        valid = jnp.roll(st.valid, -1, axis=0).at[M - 1].set(good) \
+            & keep[None, :]
 
         fails = jnp.where(failed, st.fails + 1, 0)
 
@@ -216,9 +218,32 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 1000,
         smalls = jnp.where(moved & small, st.smalls + 1, 0)
         done = st.done | (smalls >= 3) | (fails >= 2)
 
-        return State(st.k + 1, x_next, f_next, g_next,
-                     s_hist, y_hist, rho, valid, done, fails, smalls)
+        return LBFGSState(st.k + 1, x_next, f_next, g_next,
+                          s_hist, y_hist, rho, valid, done, st.frozen,
+                          fails, smalls)
 
-    st = jax.lax.while_loop(cond, body, st0)
+    return jax.lax.while_loop(cond, body, st0)
+
+
+def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 1000,
+                   tol: float = 1e-4, history: int = 10,
+                   freeze: Optional[jnp.ndarray] = None) -> LBFGSResult:
+    """Minimize a batch of independent objectives with L-BFGS.
+
+    Args:
+      fun: batched objective, (B, D) -> (B,). Must be jit-traceable.
+      x0: (B, D) initial parameters.
+      max_iter: iteration cap (Rosetta max_iter, folding.py:92-104).
+      tol: fractional energy-change convergence tolerance.
+      history: L-BFGS memory M.
+      freeze: optional (B,) bool; True decoys are left untouched (used by the
+        staged protocol's per-decoy clash gating).
+
+    Returns LBFGSResult. The whole routine is one XLA program: jit/grad-safe,
+    shapes static, batch-native. For chunked execution across bounded device
+    calls use lbfgs_init + lbfgs_run directly.
+    """
+    st = lbfgs_run(fun, lbfgs_init(fun, x0, history=history, freeze=freeze),
+                   max_iter=max_iter, tol=tol)
     return LBFGSResult(x=st.x, f=st.f, n_iter=st.k,
-                       converged=st.done & ~frozen0)
+                       converged=st.done & ~st.frozen)
