@@ -196,17 +196,26 @@ def pair_transition(p: Params, name: str, z):
                   jax.nn.relu(linear(p, f"{name}.linear1", z)))
 
 
-def tri_update(p: Params, name: str, z):
-    """TriUpdate (attn_conv.py:147-189); dropout = identity at inference."""
+def tri_update(p: Params, name: str, z, use_flash: bool = False):
+    """TriUpdate (attn_conv.py:147-189); dropout = identity at inference.
+
+    use_flash: route the triangle attentions through the Pallas flash
+    kernel (trx2dy.ops.triangle_attention) — avoids the O(L^3 H) logits
+    tensor; recommended for L >~ 300 on TPU."""
+    if use_flash:
+        from trx2dy.ops.triangle_attention import triangle_attention_pallas
+        tri_attn = triangle_attention_pallas
+    else:
+        tri_attn = triangle_attention
     z = z + triangle_multiplication(p, f"{name}.pair_multi_out", z,
                                     "outgoing") \
         + bottle2neck(p, f"{name}.conv_stem.0.1", z)
     z = z + triangle_multiplication(p, f"{name}.pair_multi_in", z,
                                     "incoming") \
         + bottle2neck(p, f"{name}.conv_stem.1.1", z)
-    z = z + triangle_attention(p, f"{name}.pair_row_attn", z, "row") \
+    z = z + tri_attn(p, f"{name}.pair_row_attn", z, "row") \
         + bottle2neck(p, f"{name}.conv_stem.2.1", z)
-    z = z + triangle_attention(p, f"{name}.pair_col_attn", z, "col") \
+    z = z + tri_attn(p, f"{name}.pair_col_attn", z, "col") \
         + bottle2neck(p, f"{name}.conv_stem.3.1", z)
     z = z + pair_transition(p, f"{name}.pair_trans", z)
     return z
@@ -297,7 +306,8 @@ def relpos_embed(p: Params, name: str, res_id):
 
 def predictor2d_apply(p: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
                       res_id=None, depth: int = DEPTH, prefix: str = "net",
-                      msa_emb=None, rec_reprs=None, return_repr: bool = False):
+                      msa_emb=None, rec_reprs=None, return_repr: bool = False,
+                      use_flash: bool = False):
     """Forward pass (attn_conv.py:534-605; e2e flavor attn_conv_e2e.py:525-
     576 differs only by in_dim/num_tokens, the optional ESM msa_emb added to
     the token embedding, and the recycling injection rec_reprs).
@@ -335,7 +345,7 @@ def predictor2d_apply(p: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
         m = m + feed_forward(p, f"{blk}.3.fn",
                              layer_norm(p, f"{blk}.3.norm", m))
         x = update_x(p, f"{blk}.2", x, m)
-        x = tri_update(p, f"{blk}.0", x)
+        x = tri_update(p, f"{blk}.0", x, use_flash=use_flash)
         m = update_m(p, f"{blk}.4", x, m)
 
     sym = (x + jnp.swapaxes(x, 0, 1)) * 0.5

@@ -43,41 +43,56 @@ def _tri_attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, blk_j: int,
       q_ref: (1, BI, HD)   —  H*D flattened, per-head slices strided
       k_ref: (1, L, HD)
       v_ref: (1, L, HD)
-      b_ref: (BI, L, H)
+      b_ref: (H, BI, L)    —  head-major so VMEM tiles are (8,128)-friendly
+                              (an (..., H=4) minor dim would lane-pad 32x)
       o_ref: (1, BI, HD)
     """
     q = q_ref[0]                                   # (BI, HD)
     BI, HD = q.shape
-    H = b_ref.shape[-1]
+    H = b_ref.shape[0]
     D = HD // H
 
-    qh = q.reshape(BI, H, D)
-
     def body(j, carry):
-        m_prev, l_prev, acc = carry                # (BI,H), (BI,H), (BI,H,D)
-        k_blk = k_ref[0, pl.ds(j * blk_j, blk_j), :].reshape(blk_j, H, D)
-        v_blk = v_ref[0, pl.ds(j * blk_j, blk_j), :].reshape(blk_j, H, D)
-        b_blk = b_ref[:, pl.ds(j * blk_j, blk_j), :]          # (BI, BJ, H)
+        # Mosaic's tpu.matmul wants plain 2D dots (no mid-position batch
+        # dims), so the H=4 heads are a static unroll of (BI,D)x(D,BJ)
+        # MXU matmuls.
+        m_prev, l_prev, acc = carry                # (BI,H), (BI,H), (BI,HD)
+        k_blk = k_ref[0, pl.ds(j * blk_j, blk_j), :]          # (BJ, HD)
+        v_blk = v_ref[0, pl.ds(j * blk_j, blk_j), :]
+        b_blk = b_ref[:, :, pl.ds(j * blk_j, blk_j)]          # (H, BI, BJ)
 
-        s = jnp.einsum("ihd,jhd->ijh", qh, k_blk,
-                       preferred_element_type=jnp.float32)
-        s = s * (D ** -0.5) + b_blk                # (BI, BJ, H)
+        m_news, l_news, accs = [], [], []
+        for h in range(H):
+            q_h = q[:, h * D:(h + 1) * D]                     # (BI, D)
+            k_h = k_blk[:, h * D:(h + 1) * D]                 # (BJ, D)
+            v_h = v_blk[:, h * D:(h + 1) * D]
+            s = jax.lax.dot_general(
+                q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (BI, BJ)
+            s = s * (D ** -0.5) + b_blk[h]
 
-        m_blk = jnp.max(s, axis=1)                 # (BI, H)
-        m_new = jnp.maximum(m_prev, m_blk)
-        p = jnp.exp(s - m_new[:, None, :])         # (BI, BJ, H)
-        corr = jnp.exp(m_prev - m_new)             # (BI, H)
-        l_new = l_prev * corr + jnp.sum(p, axis=1)
-        acc = acc * corr[:, :, None] + jnp.einsum(
-            "ijh,jhd->ihd", p, v_blk, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
+            m_prev_h = m_prev[:, h]
+            m_blk = jnp.max(s, axis=1)
+            m_new = jnp.maximum(m_prev_h, m_blk)
+            p = jnp.exp(s - m_new[:, None])                   # (BI, BJ)
+            corr = jnp.exp(m_prev_h - m_new)
+            l_news.append(l_prev[:, h] * corr + jnp.sum(p, axis=1))
+            pv = jax.lax.dot_general(
+                p, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (BI, D)
+            accs.append(acc[:, h * D:(h + 1) * D] * corr[:, None] + pv)
+            m_news.append(m_new)
+        return (jnp.stack(m_news, axis=1), jnp.stack(l_news, axis=1),
+                jnp.concatenate(accs, axis=1))
 
     m0 = jnp.full((BI, H), NEG_INF, jnp.float32)
     l0 = jnp.zeros((BI, H), jnp.float32)
-    acc0 = jnp.zeros((BI, H, D), jnp.float32)
+    acc0 = jnp.zeros((BI, HD), jnp.float32)
     _, l_fin, acc = jax.lax.fori_loop(0, n_j, body, (m0, l0, acc0))
-    out = acc / jnp.maximum(l_fin, 1e-30)[:, :, None]
-    o_ref[0] = out.reshape(BI, HD).astype(o_ref.dtype)
+    l_safe = jnp.maximum(l_fin, 1e-30)                        # (BI, H)
+    outs = [acc[:, h * D:(h + 1) * D] / l_safe[:, h][:, None]
+            for h in range(H)]
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("blk_i", "blk_j", "interpret"))
@@ -103,7 +118,8 @@ def triangle_attention_flash(q, k, v, bias, blk_i: int = 128,
     qf = jnp.pad(q.reshape(L, L, HD), ((0, 0), (0, pad_i), (0, 0)))
     kf = jnp.pad(k.reshape(L, L, HD), ((0, 0), (0, pad_j), (0, 0)))
     vf = jnp.pad(v.reshape(L, L, HD), ((0, 0), (0, pad_j), (0, 0)))
-    bf = jnp.pad(bias, ((0, pad_i), (0, pad_j), (0, 0)),
+    bf = jnp.pad(jnp.transpose(bias, (2, 0, 1)),       # (H, L, L) head-major
+                 ((0, 0), (0, pad_i), (0, pad_j)),
                  constant_values=NEG_INF)
     # padded-i rows attend over a NEG_INF row -> softmax over garbage; they
     # are sliced off below. padded-j keys are masked by the NEG_INF bias.
@@ -122,7 +138,7 @@ def triangle_attention_flash(q, k, v, bias, blk_i: int = 128,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lp_j, HD), lambda r, i: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_i, Lp_j, H), lambda r, i: (i, 0, 0),
+            pl.BlockSpec((H, blk_i, Lp_j), lambda r, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, blk_i, HD), lambda r, i: (r, i, 0),

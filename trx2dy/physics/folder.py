@@ -208,7 +208,7 @@ def _vdw_run_jit(state, chunk):
     return lbfgs_run(_vdw_fun, state, max_iter=chunk)
 
 
-def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi):
+def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat=False):
     in_axes = (0, 0, 0, None, None) if multi else (0, None, None, None, None)
 
     def fun(xx):
@@ -216,29 +216,33 @@ def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi):
         t = xx.reshape(B, 3, -1)
         return jax.vmap(pose_energy_weighted, in_axes=in_axes)(
             t, rst, masks, w_vec, dist_on_ca)
-    return fun
+    # rematerialize the energy in the backward pass: ~2x lower peak HBM for
+    # ~1.3x compute — lifts the max decoy batch per chip (large-B configs)
+    return jax.checkpoint(fun) if remat else fun
 
 
-@functools.partial(jax.jit, static_argnames=("dist_on_ca", "multi"))
+@functools.partial(jax.jit,
+                   static_argnames=("dist_on_ca", "multi", "remat"))
 def _stage_init_jit(x, rst, masks, w_vec, freeze, dist_on_ca=False,
-                    multi=False):
-    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi)
+                    multi=False, remat=False):
+    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat)
     return lbfgs_init(fun, x, freeze=freeze)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "dist_on_ca", "multi"))
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "dist_on_ca", "multi", "remat"))
 def _stage_run_jit(state, rst, masks, w_vec, chunk, dist_on_ca=False,
-                   multi=False):
+                   multi=False, remat=False):
     """One bounded chunk of the stage L-BFGS. The score function is DATA
     (w_vec), so a single compiled program serves every stage of the
     protocol, every dynamics iteration, and both NMR/X-ray models."""
-    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi)
+    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat)
     return lbfgs_run(fun, state, max_iter=chunk)
 
 
 def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                      fastrelax: bool, max_iter: int, dist_on_ca: bool,
-                     multi_rst: bool = False):
+                     multi_rst: bool = False, remat: bool = False):
     """Host-orchestrated protocol over chunked compiled stage programs.
 
     multi_rst: rst/mask leaves carry a leading per-decoy axis (chain mode)."""
@@ -252,12 +256,13 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
 
     def stage(x, masks, w, freeze=no_freeze, iters=None):
         iters = max_iter if iters is None else iters
-        st = _stage_init_jit(x, rst, masks, w, freeze, dist_on_ca, multi_rst)
+        st = _stage_init_jit(x, rst, masks, w, freeze, dist_on_ca, multi_rst,
+                             remat)
         remaining = iters
         while remaining > 0:
             st = _stage_run_jit(st, rst, masks, w,
                                 min(STAGE_CHUNK, remaining), dist_on_ca,
-                                multi_rst)
+                                multi_rst, remat)
             remaining -= STAGE_CHUNK
             if bool(np.asarray(jnp.all(st.done))):
                 break
@@ -297,7 +302,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         x = stage(x, relax1_masks, w_relax)
         x = stage(x, relax2_masks, w_relax)
     f = _stage_init_jit(x, rst, stages[-1], w_cent, ~no_freeze, dist_on_ca,
-                        multi_rst).f
+                        multi_rst, remat).f
     return x, f
 
 
@@ -307,7 +312,8 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
                   params: FoldParams = FoldParams(), max_iter: int = 1000,
                   x0: Optional[jnp.ndarray] = None,
                   rst_mode: str = "no-idp", known_npz: Optional[dict] = None,
-                  staged_execution: bool = True) -> FoldResult:
+                  staged_execution: bool = True,
+                  remat: bool = False) -> FoldResult:
     """Fold an ensemble of decoys from predicted geometry histograms.
 
     Args:
@@ -360,7 +366,7 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
     if staged_execution:
         x, f = _protocol_staged(x0, rst, stages, relax1, relax2,
                                 fastrelax=fastrelax, max_iter=max_iter,
-                                dist_on_ca=dist_on_ca)
+                                dist_on_ca=dist_on_ca, remat=remat)
     else:
         x, f = _protocol_jit(x0, rst, stacked, relax1, relax2,
                              n_centroid_stages=len(stages),
