@@ -199,3 +199,44 @@ class TestChains:
         assert last <= cfg.Nmax
         # per-decoy npz checkpoints exist
         assert os.path.exists(tmp_path / "npz" / "c1.npz")
+
+
+class TestResumeAndBatch:
+    def test_resume_contract(self, tmp_path):
+        """Re-running generate_ensemble continues from saved tmp_npz files
+        (reference run_inference.py:100-102 semantics)."""
+        L = 16
+        seq = "ARNDCQEGHILKMFPS"
+        npz = _rand_npz(L, key=21)
+        cfg = DynamicsConfig(init_num=2, Nmax=2, max_iter=8, fastrelax=False)
+        npz_dir = str(tmp_path / "npz")
+        pdb_dir = str(tmp_path / "pdb")
+        last1 = generate_ensemble("r", npz_dir, pdb_dir, npz, seq, cfg,
+                                  jax.random.PRNGKey(0))
+        files_before = set(os.listdir(npz_dir))
+        # second run re-reads the existing iteration npz files
+        last2 = generate_ensemble("r", npz_dir, pdb_dir, npz, seq, cfg,
+                                  jax.random.PRNGKey(1))
+        assert last2 >= 1
+        assert files_before.issubset(set(os.listdir(npz_dir)))
+
+    def test_batch_mode_cli(self, tmp_path):
+        """--name_lst batch mode drives run_single per name."""
+        from trx2dy.cli.run_inference import main as cli_main
+        L = 14
+        seq = "ARNDCQEGHILKMF"
+        for name in ("t1", "t2"):
+            (tmp_path / f"{name}.fasta").write_text(f">{name}\n{seq}\n")
+            (tmp_path / f"{name}.a3m").write_text(f">{name}\n{seq}\n")
+            np.savez_compressed(tmp_path / f"{name}_NMR.npz",
+                                **_rand_npz(L, key=hash(name) % 100))
+        (tmp_path / "names.txt").write_text("t1\nt2\n")
+        cli_main(["--name_lst", str(tmp_path / "names.txt"),
+                  "--fasta_dir", str(tmp_path), "--msa_dir", str(tmp_path),
+                  "--save_dir", str(tmp_path / "out"),
+                  "--npz_dir", str(tmp_path),
+                  "--init_num", "1", "--Nmax", "1", "--max_iter", "5",
+                  "--no-mult_two_models"])
+        for name in ("t1", "t2"):
+            pdbs = os.listdir(tmp_path / "out" / name / "pred_pdb")
+            assert any(p.startswith("conf_1") for p in pdbs), name

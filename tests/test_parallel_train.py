@@ -98,3 +98,30 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestShardedFold:
+    def test_fold_sharded_over_dp(self):
+        from trx2dy.parallel.mesh import make_mesh
+        from trx2dy.parallel.decoys import fold_ensemble_sharded
+        rng = np.random.default_rng(4)
+        L = 16
+        seq = "ARNDCQEGHILKMFPS"
+        def soft(s):
+            x = rng.random(s, dtype=np.float32)
+            return x / x.sum(-1, keepdims=True)
+        npz = {"dist": soft((L, L, 37)), "omega": soft((L, L, 25)),
+               "theta": soft((L, L, 25)), "phi": soft((L, L, 13))}
+        mesh = make_mesh(jax.devices()[:4], mp_size=1)
+        res = fold_ensemble_sharded(mesh, npz, seq, jax.random.PRNGKey(0),
+                                    n_decoys=8, max_iter=10, fastrelax=False)
+        assert res.torsions.shape == (8, 3, L)
+        assert np.isfinite(np.asarray(res.energy)).all()
+
+    def test_indivisible_batch_rejected(self):
+        from trx2dy.parallel.mesh import make_mesh
+        from trx2dy.parallel.decoys import fold_ensemble_sharded
+        mesh = make_mesh(jax.devices()[:4], mp_size=1)
+        with pytest.raises(ValueError):
+            fold_ensemble_sharded(mesh, {}, "AAAA", jax.random.PRNGKey(0),
+                                  n_decoys=3)
