@@ -123,15 +123,57 @@ def build_backbone(phi, psi, omega):
         th = jnp.tile(jnp.array(
             [ANGLE_CA_C_N, ANGLE_C_N_CA, ANGLE_N_CA_C], dtype), L - 1)
         mats = _nerf_matrix(r, th, tors)                     # (n_steps, 4, 4)
-        # full-f32 4x4 composition: the TPU bf16 matmul default would drift
-        # coordinates by ~1e-2 A over a few hundred steps
+        # Hand-unrolled rigid composition (rot rows/cols as (n,) lanes):
+        # a 4x4-matmul associative_scan lowers to ~2 log2(n) tiny batched
+        # MXU matmuls (4x4 padded to the systolic tile) and dominated the
+        # whole energy evaluation; the unrolled form is pure fused VPU work
+        # at full f32 (same trick as the reference's rot_matmul,
+        # rigid_utils.py:87-152). ~5x faster at L=150, B=50.
+        rot = mats[:, :3, :3]
+        tsl = mats[:, :3, 3]
+
+        def compose(a, b):
+            ra, ta = a
+            rb, tb = b
+            # (a then b): r = ra @ rb, t = ra @ tb + ta, unrolled
+            r00 = (ra[:, 0, 0] * rb[:, 0, 0] + ra[:, 0, 1] * rb[:, 1, 0]
+                   + ra[:, 0, 2] * rb[:, 2, 0])
+            r01 = (ra[:, 0, 0] * rb[:, 0, 1] + ra[:, 0, 1] * rb[:, 1, 1]
+                   + ra[:, 0, 2] * rb[:, 2, 1])
+            r02 = (ra[:, 0, 0] * rb[:, 0, 2] + ra[:, 0, 1] * rb[:, 1, 2]
+                   + ra[:, 0, 2] * rb[:, 2, 2])
+            r10 = (ra[:, 1, 0] * rb[:, 0, 0] + ra[:, 1, 1] * rb[:, 1, 0]
+                   + ra[:, 1, 2] * rb[:, 2, 0])
+            r11 = (ra[:, 1, 0] * rb[:, 0, 1] + ra[:, 1, 1] * rb[:, 1, 1]
+                   + ra[:, 1, 2] * rb[:, 2, 1])
+            r12 = (ra[:, 1, 0] * rb[:, 0, 2] + ra[:, 1, 1] * rb[:, 1, 2]
+                   + ra[:, 1, 2] * rb[:, 2, 2])
+            r20 = (ra[:, 2, 0] * rb[:, 0, 0] + ra[:, 2, 1] * rb[:, 1, 0]
+                   + ra[:, 2, 2] * rb[:, 2, 0])
+            r21 = (ra[:, 2, 0] * rb[:, 0, 1] + ra[:, 2, 1] * rb[:, 1, 1]
+                   + ra[:, 2, 2] * rb[:, 2, 1])
+            r22 = (ra[:, 2, 0] * rb[:, 0, 2] + ra[:, 2, 1] * rb[:, 1, 2]
+                   + ra[:, 2, 2] * rb[:, 2, 2])
+            rr = jnp.stack([
+                jnp.stack([r00, r01, r02], -1),
+                jnp.stack([r10, r11, r12], -1),
+                jnp.stack([r20, r21, r22], -1)], -2)
+            tt = jnp.stack([
+                ra[:, 0, 0] * tb[:, 0] + ra[:, 0, 1] * tb[:, 1]
+                + ra[:, 0, 2] * tb[:, 2] + ta[:, 0],
+                ra[:, 1, 0] * tb[:, 0] + ra[:, 1, 1] * tb[:, 1]
+                + ra[:, 1, 2] * tb[:, 2] + ta[:, 1],
+                ra[:, 2, 0] * tb[:, 0] + ra[:, 2, 1] * tb[:, 1]
+                + ra[:, 2, 2] * tb[:, 2] + ta[:, 2]], -1)
+            return rr, tt
+
+        cum_rot, cum_tsl = jax.lax.associative_scan(compose, (rot, tsl))
         hi = jax.lax.Precision.HIGHEST
-        cum = jax.lax.associative_scan(
-            lambda x, y: jnp.einsum("...ij,...jk->...ik", x, y, precision=hi),
-            mats)
         seed = _frame_from_three(n0, ca0, c0)
-        frames = jnp.einsum("ij,njk->nik", seed, cum, precision=hi)
-        pos = frames[:, :3, 3].reshape(L - 1, 3, 3)
+        # positions: seed_rot @ cum_tsl + seed_tsl (tiny, keep einsum)
+        pos_flat = jnp.einsum("ij,nj->ni", seed[:3, :3], cum_tsl,
+                              precision=hi) + seed[:3, 3]
+        pos = pos_flat.reshape(L - 1, 3, 3)
         n = jnp.concatenate([n0[None], pos[:, 0]])
         ca = jnp.concatenate([ca0[None], pos[:, 1]])
         c = jnp.concatenate([c0[None], pos[:, 2]])

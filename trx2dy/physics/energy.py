@@ -41,6 +41,8 @@ from trx2dy.geometry.nerf import build_backbone
 from trx2dy.geometry.transforms import dihedral, bond_angle
 from trx2dy.physics.restraints import RestraintSet, RestraintMasks, restraint_energy
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 class EnergyWeights(NamedTuple):
     """One Rosetta-style score function as term weights."""
@@ -94,7 +96,11 @@ def vdw_energy(atoms: dict) -> jnp.ndarray:
     radii = jnp.asarray(ATOM_RADII)
     flat = xyz.reshape(L * 5, 3)
     r = jnp.tile(radii, L)
-    d2 = jnp.sum((flat[:, None, :] - flat[None, :, :]) ** 2, axis=-1)
+    # |a-b|^2 via the Gram matrix: one (N,3)x(3,N) MXU matmul instead of a
+    # (N,N,3) broadcast-difference tensor (3x HBM traffic at N=5L)
+    sq = jnp.sum(flat * flat, axis=-1)
+    gram = jnp.matmul(flat, flat.T, precision=_HI)
+    d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * gram, 0.0)
     sig = r[:, None] + r[None, :]
     res = jnp.repeat(jnp.arange(L), 5)
     sep_ok = jnp.abs(res[:, None] - res[None, :]) >= 2
@@ -140,7 +146,11 @@ def hbond_energy(atoms: dict, w_sr: float, w_lr: float) -> jnp.ndarray:
     """
     O, N, C, CA = atoms["O"], atoms["N"], atoms["C"], atoms["CA"]
     L = O.shape[0]
-    d = jnp.linalg.norm(O[:, None, :] - N[None, :, :] + 1e-8, axis=-1)
+    sqo = jnp.sum(O * O, axis=-1)
+    sqn = jnp.sum(N * N, axis=-1)
+    gram = jnp.matmul(O, N.T, precision=_HI)
+    d = jnp.sqrt(jnp.maximum(sqo[:, None] + sqn[None, :] - 2.0 * gram, 0.0)
+                 + 1e-12)
     g = jnp.exp(-((d - 2.95) ** 2) / (2.0 * 0.35 ** 2))
 
     # acceptor directionality: angle C(i)-O(i)-N(j) near 180 deg
@@ -180,7 +190,10 @@ def pairwise_geometry(atoms: dict) -> dict:
     L = ca.shape[0]
     eye = jnp.eye(L, dtype=bool)[..., None]
     off = jnp.asarray([7.3, 5.1, 3.7], cb.dtype)   # arbitrary non-degenerate
-    d = jnp.linalg.norm(cb[:, None, :] - cb[None, :, :] + 1e-8, axis=-1)
+    sq = jnp.sum(cb * cb, axis=-1)
+    gram = jnp.matmul(cb, cb.T, precision=_HI)
+    d = jnp.sqrt(jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * gram, 0.0)
+                 + 1e-12)
     ca_i = jnp.broadcast_to(ca[:, None, :], (L, L, 3))
     ca_j = jnp.where(eye, ca[None, :, :] + off, ca[None, :, :])
     cb_i = jnp.broadcast_to(cb[:, None, :], (L, L, 3))
@@ -272,4 +285,57 @@ def pose_energy_weighted(torsions: jnp.ndarray, rst: RestraintSet,
     e = e + restraint_energy(rst, masks, dist, g["omega"], g["theta"],
                              g["phi"], w["atom_pair"], w["dihedral"],
                              w["angle"])
+    return e
+
+
+def pose_base_and_geometry(torsions: jnp.ndarray, w_vec: jnp.ndarray,
+                           dist_on_ca: bool = False):
+    """Per-decoy non-restraint energy + the four geometry query maps.
+
+    Split out so the batched caller can evaluate the spline restraints with
+    the fused Pallas kernel over the whole decoy batch at once
+    (trx2dy.ops.spline_energy) instead of per-decoy one-hot interpolation.
+    """
+    w = dict(zip(WEIGHT_FIELDS, w_vec))
+    phi, psi, omg = torsions[0], torsions[1], torsions[2]
+    atoms = build_backbone(phi, psi, omg)
+    e = w["vdw"] * vdw_energy(atoms)
+    e = e + w["rama"] * rama_energy(phi, psi)
+    e = e + w["omega"] * omega_planarity_energy(omg)
+    e = e + hbond_energy(atoms, w["cen_hb"] + w["hbond_sr"],
+                         w["cen_hb"] + w["hbond_lr"])
+    g = pairwise_geometry(atoms)
+    dist = g["dist"]
+    if dist_on_ca:
+        ca = atoms["CA"]
+        sq = jnp.sum(ca * ca, axis=-1)
+        gram = jnp.matmul(ca, ca.T, precision=_HI)
+        dist = jnp.sqrt(jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * gram,
+                                    0.0) + 1e-12)
+    return e, dist, g["omega"], g["theta"], g["phi"]
+
+
+def batched_energy_fused(x: jnp.ndarray, rst: RestraintSet,
+                         masks: RestraintMasks, w_vec: jnp.ndarray,
+                         dist_on_ca: bool = False) -> jnp.ndarray:
+    """(B, 3L) -> (B,) energies with the fused Pallas spline kernel.
+
+    Shared restraint tables across the batch (the non-chain fold path).
+    """
+    from trx2dy.ops.spline_energy import spline_energy_batch
+
+    B = x.shape[0]
+    t = x.reshape(B, 3, -1)
+    e_base, qd, qo, qt, qp = jax.vmap(
+        pose_base_and_geometry, in_axes=(0, None, None))(t, w_vec, dist_on_ca)
+    w = dict(zip(WEIGHT_FIELDS, w_vec))
+    e = e_base
+    e = e + w["atom_pair"] * spline_energy_batch(
+        rst.dist.y, rst.dist.m, rst.dist.x, qd, masks.dist)
+    e = e + w["dihedral"] * spline_energy_batch(
+        rst.omega.y, rst.omega.m, rst.omega.x, qo, masks.omega)
+    e = e + w["dihedral"] * spline_energy_batch(
+        rst.theta.y, rst.theta.m, rst.theta.x, qt, masks.theta)
+    e = e + w["angle"] * spline_energy_batch(
+        rst.phi.y, rst.phi.m, rst.phi.x, qp, masks.phi)
     return e

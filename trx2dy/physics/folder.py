@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from trx2dy.geometry.nerf import build_backbone
 from trx2dy.physics.energy import (
     EnergyWeights, SCOREFXN_CENT, SCOREFXN1, SCOREFXN_VDW, SCOREFXN_CART,
-    pose_energy, pose_energy_weighted, weights_to_vec,
+    pose_energy, pose_energy_weighted, weights_to_vec, batched_energy_fused,
 )
 from trx2dy.physics.restraints import (
     FoldParams, RestraintSet, RestraintMasks, compile_restraints,
@@ -208,35 +208,42 @@ def _vdw_run_jit(state, chunk):
     return lbfgs_run(_vdw_fun, state, max_iter=chunk)
 
 
-def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat=False):
-    in_axes = (0, 0, 0, None, None) if multi else (0, None, None, None, None)
+def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat=False,
+                  fused=False):
+    if fused and not multi:
+        # fused Pallas spline path: shared tables, batched queries
+        def fun(xx):
+            return batched_energy_fused(xx, rst, masks, w_vec, dist_on_ca)
+    else:
+        in_axes = (0, 0, 0, None, None) if multi else             (0, None, None, None, None)
 
-    def fun(xx):
-        B = xx.shape[0]
-        t = xx.reshape(B, 3, -1)
-        return jax.vmap(pose_energy_weighted, in_axes=in_axes)(
-            t, rst, masks, w_vec, dist_on_ca)
+        def fun(xx):
+            B = xx.shape[0]
+            t = xx.reshape(B, 3, -1)
+            return jax.vmap(pose_energy_weighted, in_axes=in_axes)(
+                t, rst, masks, w_vec, dist_on_ca)
     # rematerialize the energy in the backward pass: ~2x lower peak HBM for
     # ~1.3x compute — lifts the max decoy batch per chip (large-B configs)
     return jax.checkpoint(fun) if remat else fun
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dist_on_ca", "multi", "remat"))
+                   static_argnames=("dist_on_ca", "multi", "remat", "fused"))
 def _stage_init_jit(x, rst, masks, w_vec, freeze, dist_on_ca=False,
-                    multi=False, remat=False):
-    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat)
+                    multi=False, remat=False, fused=False):
+    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat, fused)
     return lbfgs_init(fun, x, freeze=freeze)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("chunk", "dist_on_ca", "multi", "remat"))
+                   static_argnames=("chunk", "dist_on_ca", "multi", "remat",
+                                    "fused"))
 def _stage_run_jit(state, rst, masks, w_vec, chunk, dist_on_ca=False,
-                   multi=False, remat=False):
+                   multi=False, remat=False, fused=False):
     """One bounded chunk of the stage L-BFGS. The score function is DATA
     (w_vec), so a single compiled program serves every stage of the
     protocol, every dynamics iteration, and both NMR/X-ray models."""
-    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat)
+    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat, fused)
     return lbfgs_run(fun, state, max_iter=chunk)
 
 
@@ -254,15 +261,22 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
     w_sf1 = weights_to_vec(SCOREFXN1)
     w_relax = weights_to_vec(SCOREFXN_RELAX)
 
+    # The fused Pallas spline path is available but measured SLOWER than
+    # XLA's fused one-hot interpolation at production sizes (B=50, L=150:
+    # 7.6 vs 5.6 ms per value+grad — the kernel's 34-interval scan
+    # recomputes more VPU work than the one-hot costs in HBM traffic), so
+    # the XLA path stays default. Flip for memory-bound regimes.
+    fused = False
+
     def stage(x, masks, w, freeze=no_freeze, iters=None):
         iters = max_iter if iters is None else iters
         st = _stage_init_jit(x, rst, masks, w, freeze, dist_on_ca, multi_rst,
-                             remat)
+                             remat, fused)
         remaining = iters
         while remaining > 0:
             st = _stage_run_jit(st, rst, masks, w,
                                 min(STAGE_CHUNK, remaining), dist_on_ca,
-                                multi_rst, remat)
+                                multi_rst, remat, fused)
             remaining -= STAGE_CHUNK
             if bool(np.asarray(jnp.all(st.done))):
                 break
@@ -302,7 +316,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         x = stage(x, relax1_masks, w_relax)
         x = stage(x, relax2_masks, w_relax)
     f = _stage_init_jit(x, rst, stages[-1], w_cent, ~no_freeze, dist_on_ca,
-                        multi_rst, remat).f
+                        multi_rst, remat, fused).f
     return x, f
 
 

@@ -188,6 +188,11 @@ def restraint_energy(rst: RestraintSet, masks: RestraintMasks,
                      w_atom_pair: float, w_dihedral: float, w_angle: float):
     """Total restraint energy of one conformation's dense geometry maps.
 
+    Uses the analytic-VJP spline energy (spline.masked_spline_energy): the
+    backward pass w.r.t. the geometry queries is a single multiply instead
+    of autodiff re-traversing the one-hot interpolation — the folder's
+    L-BFGS evaluates this gradient thousands of times per decoy.
+
     Args:
       dist/omega/theta/phi: (L, L) geometry maps (no contact cutoff — spline
         extrapolation handles long range, like Rosetta does).
@@ -195,14 +200,15 @@ def restraint_energy(rst: RestraintSet, masks: RestraintMasks,
         (atom_pair_constraint / dihedral_constraint / angle_constraint,
         folding/data/scorefxn.wts).
     """
-    e = w_atom_pair * jnp.sum(
-        jnp.where(masks.dist, evaluate_spline(rst.dist, dist), 0.0))
-    e += w_dihedral * jnp.sum(
-        jnp.where(masks.omega, evaluate_spline(rst.omega, omega), 0.0))
-    e += w_dihedral * jnp.sum(
-        jnp.where(masks.theta, evaluate_spline(rst.theta, theta), 0.0))
-    e += w_angle * jnp.sum(
-        jnp.where(masks.phi, evaluate_spline(rst.phi, phi), 0.0))
+    from trx2dy.physics.spline import masked_spline_energy
+
+    def term(table, q, mask):
+        return masked_spline_energy(table.y, table.m, table.x, q, mask)
+
+    e = w_atom_pair * term(rst.dist, dist, masks.dist)
+    e += w_dihedral * term(rst.omega, omega, masks.omega)
+    e += w_dihedral * term(rst.theta, theta, masks.theta)
+    e += w_angle * term(rst.phi, phi, masks.phi)
     return e
 
 
