@@ -48,8 +48,13 @@ def main(argv=None) -> None:
 
     model_params = load_params(
         _find(args.model_pth, args.model_name, (".pth.tar", ".pth", ".npz")))
-    esm_params = load_params(
-        _find(args.model_pth, "esm_msa1_t12_100M_UR50S", (".pt", ".npz")))
+    esm_file = _find(args.model_pth, "esm_msa1_t12_100M_UR50S",
+                     (".pt", ".npz"))
+    if esm_file.endswith(".pt"):
+        from trx2dy.models.torch_convert import load_esm_checkpoint
+        esm_params = load_esm_checkpoint(esm_file)   # fairseq format upgrade
+    else:
+        esm_params = load_params(esm_file)
 
     toks = jnp.asarray(mymsa_to_esmmsa(msa_filtered))
     emb = esm_msa_apply(esm_params, toks, repr_layers=(12,),

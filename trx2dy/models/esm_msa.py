@@ -21,7 +21,6 @@ torch state_dict keys.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import numpy as np

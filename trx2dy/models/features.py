@@ -13,8 +13,6 @@ Feature layout (526 = 2*42 + 442):
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

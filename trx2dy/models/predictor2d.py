@@ -22,7 +22,6 @@ Works unbatched: pair x is (L, L, D), MSA m is (R, L, D).
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import numpy as np

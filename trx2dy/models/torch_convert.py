@@ -44,3 +44,36 @@ def save_params_npz(params: Dict[str, jnp.ndarray], path: str) -> None:
 def load_params_npz(path: str) -> Dict[str, jnp.ndarray]:
     with np.load(path) as f:
         return {k: jnp.asarray(f[k]) for k in f.files}
+
+
+def load_esm_checkpoint(path: str, dtype=np.float32) -> Dict[str, jnp.ndarray]:
+    """Load a fairseq ESM-MSA checkpoint (.pt) into the flat layout
+    trx2dy.models.esm_msa expects.
+
+    Replicates the reference's state-dict upgrade
+    (esm/pretrained.py:119-131 _load_model_and_alphabet_core_v1,
+    arch msa_transformer): strip 'encoder.' / 'sentence_encoder.' prefixes
+    and SWAP 'row' <-> 'column' in key names (the checkpoint stores the
+    axial attentions under exchanged names). Plain state_dicts (already
+    upgraded / saved by us) pass through unchanged.
+    """
+    import torch
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(data, dict) and "model" in data:
+        def swap_rc(s):
+            if "row" in s:
+                return s.replace("row", "column")
+            return s.replace("column", "row")
+
+        def strip(s):
+            # order matters: 'sentence_encoder.' first, then 'encoder.'
+            # (pretrained.py:124: prs1(prs2(...)))
+            s = "".join(s.split("sentence_encoder.")[1:]) \
+                if "sentence_encoder." in s else s
+            s = "".join(s.split("encoder.")[1:]) if "encoder." in s else s
+            return s
+
+        sd = {strip(swap_rc(k)): v for k, v in data["model"].items()}
+    else:
+        sd = data
+    return state_dict_to_params(sd, dtype=dtype)

@@ -16,7 +16,6 @@ TPU-first:
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Optional
 
 import jax

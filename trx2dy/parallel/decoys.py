@@ -11,10 +11,7 @@ One chip folds ~50 decoys at the throughput sweet spot; N chips fold N x 50
 with no code change to the physics."""
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from trx2dy.physics.folder import FoldResult, fold_ensemble, random_torsions

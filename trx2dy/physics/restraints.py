@@ -32,7 +32,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from trx2dy.physics.spline import SplineTable, fit_natural_cubic, evaluate_spline
+from trx2dy.physics.spline import SplineTable, fit_natural_cubic
 
 
 class FoldParams(NamedTuple):
