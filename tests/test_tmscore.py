@@ -98,3 +98,80 @@ class TestAlign:
     def test_subsequence(self):
         ia, ib = align_common("XXABCD", "ABCD")
         assert list(ia) == [2, 3, 4, 5] and list(ib) == [0, 1, 2, 3]
+
+    def test_nw_interior_gap(self):
+        # native with an interior gap vs full prediction: NW must skip the
+        # gap instead of truncating (the old fallback matched index-by-index
+        # and scored garbage past the gap)
+        full = "ACDEFGHIKLMNPQRS"
+        gapped = full[:5] + full[9:]            # residues 6-9 missing
+        ia, ib = align_common(gapped, full, align=True)
+        assert list(ia) == list(range(len(gapped)))
+        assert list(ib) == list(range(5)) + list(range(9, 16))
+
+    def test_align_flag_changes_behavior(self):
+        # same inputs, different matching: resseq path vs NW path
+        from trx2dy.analysis.tmscore import align_by_resseq
+        res_full = [str(i + 1) for i in range(16)]
+        res_gap = res_full[:5] + res_full[9:]
+        ia, ib = align_by_resseq(res_gap, res_full)
+        assert list(ib) == list(range(5)) + list(range(9, 16))
+
+    def test_resseq_matching_with_offset_numbering(self):
+        # prediction numbered 1..N, native numbered 101..: no common ids ->
+        # empty match (exactly what TMscore default does); align=True rescues
+        from trx2dy.analysis.tmscore import align_by_resseq
+        res_pred = [str(i + 1) for i in range(8)]
+        res_nat = [str(i + 101) for i in range(8)]
+        ia, ib = align_by_resseq(res_pred, res_nat)
+        assert len(ia) == 0
+        ia, ib = align_common("ACDEFGHI", "ACDEFGHI", align=True)
+        assert len(ia) == 8
+
+    def test_mismatched_seqs_use_nw_not_truncation(self):
+        # interior deletion without resseq info: default path now NW-aligns
+        full = "ACDEFGHIKLMNPQRSTVWY"
+        gapped = full[:8] + full[12:]
+        ia, ib = align_common(gapped, full)
+        assert list(ib) == list(range(8)) + list(range(12, 20))
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+class TestEvaluateGappedNative:
+    def test_interior_gap_native_scores_sanely(self, tmp_path):
+        """A native missing interior residues must still score ~ the intact
+        one (residue-number matching); with index truncation the score
+        collapses because post-gap residues are compared frame-shifted."""
+        from trx2dy.io.pdbio import read_pdb_backbone
+        from trx2dy.analysis.evaluate import run_score
+
+        src = f"{REF}/apo.pdb"
+        nat_dir = tmp_path / "native"
+        pred_dir = tmp_path / "pred"
+        nat_dir.mkdir()
+        pred_dir.mkdir()
+        # native with residues 31..40 deleted but original numbering kept
+        kept = []
+        with open(src) as f:
+            for line in f:
+                if line.startswith(("ATOM", "TER", "END")):
+                    if line.startswith("ATOM"):
+                        resno = int(line[22:26])
+                        if 31 <= resno <= 40:
+                            continue
+                    kept.append(line)
+        (nat_dir / "apo_gap.pdb").write_text("".join(kept))
+        # prediction = one of the reference's committed decoys (full length)
+        import shutil
+        shutil.copy(f"{REF}/output/seq/pred_pdb/conf_1_1.pdb",
+                    pred_dir / "conf_1_1.pdb")
+
+        min_rmsd, max_tm, _, _ = run_score(str(nat_dir), str(pred_dir))
+        # golden values from /root/reference/bin/TMscore on the same pair
+        # (residue-number matching, normalized by the pred's full length)
+        assert abs(max_tm - 0.5879) < 2e-3, max_tm
+        assert abs(min_rmsd - 3.125) < 2e-3, min_rmsd
+        # align=True (sequence alignment) should agree closely here
+        _, max_tm_aln, _, _ = run_score(str(nat_dir), str(pred_dir),
+                                        align=True)
+        assert abs(max_tm_aln - max_tm) < 0.05

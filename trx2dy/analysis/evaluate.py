@@ -29,46 +29,52 @@ from trx2dy.io.pdbio import read_pdb_backbone
 from trx2dy.analysis.tmscore import tm_score_pair, align_common
 
 
-def _load_cas(pdb_dir: str) -> Dict[str, Tuple[np.ndarray, str]]:
+def _load_cas(pdb_dir: str) -> Dict[str, Tuple[np.ndarray, str, list]]:
     out = {}
     for fn in sorted(os.listdir(pdb_dir)):
         if not fn.endswith(".pdb"):
             continue
-        coords, seq = read_pdb_backbone(os.path.join(pdb_dir, fn))
-        out[fn] = (coords["CA"], seq)
+        coords, seq, resseq = read_pdb_backbone(
+            os.path.join(pdb_dir, fn), return_resseq=True)
+        out[fn] = (coords["CA"], seq, resseq)
     return out
 
 
-def score_all(native_dir: str, pred_dir: str):
+def score_all(native_dir: str, pred_dir: str, align: bool = False):
     """All (native, pred) TM-scores/RMSDs.
 
     Returns dict native_name -> list of (pred_name, tm, rmsd). TM-score is
     normalized by the native (first-argument) length, matching the reference
-    invocation `TMscore native pred` where Structure1 = native.
+    invocation `TMscore native pred` where Structure1 = native. Residues are
+    matched by residue number (TMscore default) unless align=True, which
+    switches to sequence alignment (`-seq`, evaluate_utils.py:57-60).
     """
     natives = _load_cas(native_dir)
     preds = _load_cas(pred_dir)
     results: Dict[str, List[Tuple[str, float, float]]] = {}
-    for nat_name, (nat_ca, nat_seq) in natives.items():
+    for nat_name, (nat_ca, nat_seq, nat_res) in natives.items():
         rows = []
         # bucket preds by aligned length so each bucket is one vmapped call
         buckets: Dict[int, list] = {}
-        for pred_name, (pred_ca, pred_seq) in preds.items():
-            ia, ib = align_common(nat_seq, pred_seq)
+        for pred_name, (pred_ca, pred_seq, pred_res) in preds.items():
+            ia, ib = align_common(nat_seq, pred_seq, nat_res, pred_res,
+                                  align=align)
             ok = ~(np.isnan(nat_ca[ia]).any(-1) | np.isnan(pred_ca[ib]).any(-1))
-            buckets.setdefault(int(ok.sum()), []).append(
+            # bucket key includes the pred's full length: TMscore normalizes
+            # by the full length of its second structure (= the prediction,
+            # given the reference's `TMscore native pred` arg order), not by
+            # the aligned-residue count.
+            buckets.setdefault((int(ok.sum()), len(pred_seq)), []).append(
                 (pred_name, nat_ca[ia][ok], pred_ca[ib][ok]))
-        for L, items in buckets.items():
+        for (L, l_norm), items in buckets.items():
             if L < 4:
                 continue
             nat_stack = jnp.asarray(
                 np.stack([n for _, n, _ in items]), jnp.float32)
             pred_stack = jnp.asarray(
                 np.stack([p for _, _, p in items]), jnp.float32)
-            # TMscore CLI: first arg is "native" = model 1; it normalizes by
-            # the SECOND structure's length but superimposes symmetric — we
-            # score pred-vs-native normalized by the common length.
-            r = jax.vmap(tm_score_pair)(pred_stack, nat_stack)
+            r = jax.vmap(lambda p, n: tm_score_pair(p, n, l_norm=l_norm))(
+                pred_stack, nat_stack)
             for (pred_name, _, _), tm, rmsd in zip(
                     items, np.asarray(r.tm), np.asarray(r.rmsd)):
                 rows.append((pred_name, float(tm), float(rmsd)))
@@ -83,8 +89,7 @@ def run_score(native_pdb_dir: str, pred_pdb_dir: str, align: bool = False,
     Returns (min_rmsd, max_tmscore, mean_rmsd, mean_tmscore) where the means
     are over the per-native BEST values (evaluate_utils.py:84-92).
     """
-    del align  # our engine always uses the sequence-anchored common residues
-    results = score_all(native_pdb_dir, pred_pdb_dir)
+    results = score_all(native_pdb_dir, pred_pdb_dir, align=align)
     lines = []
     best_rmsds, best_tms = [], []
     for nat_name, rows in results.items():

@@ -76,14 +76,17 @@ def _superpose_score(P, Q, sel, d0):
     return 1.0 / (1.0 + (d / d0) ** 2), d
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
+@functools.partial(jax.jit, static_argnames=("n_iter", "l_norm"))
 def tm_score_pair(pred_ca: jnp.ndarray, native_ca: jnp.ndarray,
-                  n_iter: int = 20) -> TMResult:
+                  n_iter: int = 20, l_norm: int | None = None) -> TMResult:
     """TM-score of a predicted CA trace vs a native one (index-aligned).
 
     Args:
-      pred_ca / native_ca: (L, 3). TM-score is normalized by L (the native /
-        reference length, TMscore's default).
+      pred_ca / native_ca: (L, 3) common (aligned) residues.
+      l_norm: normalization length. The TMscore binary sets d0 from — and
+        divides the contribution sum by — the FULL length of its second
+        structure, even when fewer residues align (gapped chains). Defaults
+        to L (equal-length chains: identical behavior).
 
     Implements the fragment-seeded iterative search: for every seed fragment
     (lengths L, L/2, L/4, ... >= 4, all offsets) superimpose on the seed,
@@ -92,7 +95,10 @@ def tm_score_pair(pred_ca: jnp.ndarray, native_ca: jnp.ndarray,
     best score over all seeds.
     """
     L = pred_ca.shape[0]
-    d0 = tm_d0(L)
+    if l_norm is None:
+        l_norm = L
+    d0 = tm_d0(l_norm)
+    norm = L / float(l_norm)   # rescale mean-over-L scores to sum/l_norm
     # cutoff schedule: d8 = sqrt-ish growth, as in TMscore (d < d0 + step)
     frag_lens = []
     fl = L
@@ -127,7 +133,7 @@ def tm_score_pair(pred_ca: jnp.ndarray, native_ca: jnp.ndarray,
         return jnp.maximum(best, jnp.mean(contrib))
 
     tms = jax.vmap(refine)(seed_masks)
-    tm = jnp.max(tms)
+    tm = jnp.max(tms) * norm
 
     R, t = kabsch(pred_ca, native_ca)
     d = jnp.linalg.norm(pred_ca @ R.T + t - native_ca, axis=-1)
@@ -149,15 +155,94 @@ def tm_score_batch(pred_cas: jnp.ndarray, native_ca: jnp.ndarray) -> TMResult:
     return jax.vmap(lambda p: tm_score_pair(p, native_ca))(pred_cas)
 
 
-def align_common(seq_a: str, seq_b: str):
-    """Index maps of the common residues of two same-protein sequences.
+def nw_align(seq_a: str, seq_b: str, match: float = 1.0,
+             mismatch: float = 0.0, gap: float = -1.0):
+    """Needleman-Wunsch global alignment; returns aligned index pairs.
 
-    TMscore matches residues by residue number; our PDB reader indexes by
-    order of appearance. For equal-length identical sequences this is the
-    identity; for a prediction vs a native with missing residues, anchor by
-    exact subsequence match when possible, else truncate to min length.
+    Scoring mirrors the TMscore binary's `-seq` mode (NWDP on sequences:
+    identity match=1, mismatch=0, gap=-1 — the behavior the reference opts
+    into via evaluate_utils.py:57-60). Host-side numpy DP; O(len_a*len_b).
+    Returns (idx_a, idx_b) of the non-gap aligned columns.
+    """
+    a = np.frombuffer(seq_a.encode(), np.uint8)
+    b = np.frombuffer(seq_b.encode(), np.uint8)
+    n, m = len(a), len(b)
+    score = np.zeros((n + 1, m + 1), np.float32)
+    ptr = np.zeros((n + 1, m + 1), np.int8)      # 0=diag 1=up(gap b) 2=left
+    score[:, 0] = gap * np.arange(n + 1)
+    score[0, :] = gap * np.arange(m + 1)
+    ptr[1:, 0] = 1
+    ptr[0, 1:] = 2
+    sub = np.where(a[:, None] == b[None, :], match, mismatch).astype(np.float32)
+    for i in range(1, n + 1):
+        diag = score[i - 1, :-1] + sub[i - 1]
+        up = score[i - 1, 1:] + gap
+        row = score[i]
+        for j in range(1, m + 1):
+            left = row[j - 1] + gap
+            best = diag[j - 1]
+            p = 0
+            if up[j - 1] > best:
+                best, p = up[j - 1], 1
+            if left > best:
+                best, p = left, 2
+            row[j] = best
+            ptr[i, j] = p
+    ia, ib = [], []
+    i, j = n, m
+    while i > 0 or j > 0:
+        p = ptr[i, j]
+        if p == 0:
+            i -= 1
+            j -= 1
+            ia.append(i)
+            ib.append(j)
+        elif p == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(ia[::-1], np.int64), np.asarray(ib[::-1], np.int64)
+
+
+def align_by_resseq(res_a, res_b):
+    """Match residues by residue number + insertion code (TMscore default).
+
+    res_a/res_b: lists of residue-id strings (from
+    read_pdb_backbone(..., return_resseq=True)). Returns (idx_a, idx_b) of
+    residues present in both, in chain-a order. Duplicated ids keep the
+    first occurrence (matching first-model/altloc-A reader semantics).
+    """
+    pos_b = {}
+    for j, r in enumerate(res_b):
+        pos_b.setdefault(r, j)
+    ia, ib = [], []
+    seen = set()
+    for i, r in enumerate(res_a):
+        if r in pos_b and r not in seen:
+            seen.add(r)
+            ia.append(i)
+            ib.append(pos_b[r])
+    return np.asarray(ia, np.int64), np.asarray(ib, np.int64)
+
+
+def align_common(seq_a: str, seq_b: str, res_a=None, res_b=None,
+                 align: bool = False):
+    """Index maps of the common residues of two same-protein chains.
+
+    Mirrors the TMscore binary's matching rules (the reference subprocesses
+    it, evaluate_utils.py:56-66):
+      * align=True  -> sequence alignment (`-seq` flag): Needleman-Wunsch.
+      * default     -> match by residue number when both chains provide
+        residue ids (res_a/res_b), exactly like TMscore's default mode.
+      * without residue ids: identity / exact-subsequence anchoring for the
+        common same-protein cases, Needleman-Wunsch otherwise (never the old
+        silent truncation).
     Returns (idx_a, idx_b) numpy arrays.
     """
+    if align:
+        return nw_align(seq_a, seq_b)
+    if res_a is not None and res_b is not None:
+        return align_by_resseq(res_a, res_b)
     if seq_a == seq_b:
         idx = np.arange(len(seq_a))
         return idx, idx
@@ -167,5 +252,4 @@ def align_common(seq_a: str, seq_b: str):
     if seq_a in seq_b:
         off = seq_b.index(seq_a)
         return np.arange(len(seq_a)), np.arange(off, off + len(seq_a))
-    n = min(len(seq_a), len(seq_b))
-    return np.arange(n), np.arange(n)
+    return nw_align(seq_a, seq_b)

@@ -16,8 +16,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="summary file (.txt) or directory "
                         "(default: pred_dir/summary.txt)")
     p.add_argument("--align", action="store_true", default=False,
-                   help="accepted for compatibility (the engine always "
-                        "anchors on the common sequence)")
+                   help="match residues by sequence alignment "
+                        "(Needleman-Wunsch; TMscore -seq equivalent) "
+                        "instead of by residue number")
     return p
 
 

@@ -70,12 +70,16 @@ def write_pdb_backbone(path: str, seq: str, coords: Dict[str, np.ndarray],
         f.write("\n".join(lines) + "\n")
 
 
-def read_pdb_backbone(path: str) -> Tuple[Dict[str, np.ndarray], str]:
+def read_pdb_backbone(path: str, return_resseq: bool = False):
     """Read N/CA/C/O/CB coordinates of the first model/chain of a PDB file.
 
     Returns (coords dict atom -> (L, 3) with NaN for missing atoms, sequence).
     Residues are indexed by order of appearance of distinct residue ids
     (reference retain_all_res=False semantics, utils.py:265-270).
+
+    With return_resseq=True additionally returns the list of residue-id
+    strings (columns 23-27, residue number + insertion code) so callers can
+    match residues by number the way the TMscore binary does by default.
     """
     residues: dict[tuple, dict] = {}
     order = []
@@ -115,6 +119,8 @@ def read_pdb_backbone(path: str) -> Tuple[Dict[str, np.ndarray], str]:
         seq.append(AA3_TO_1[rec["name"]])
         for a, xyz in rec["atoms"].items():
             coords[a][i] = xyz
+    if return_resseq:
+        return coords, "".join(seq), [key[1].strip() for key in order]
     return coords, "".join(seq)
 
 
