@@ -176,13 +176,117 @@ class TestESMOracle:
         try:
             out_j = em.esm_msa_apply(params, jnp.asarray(toks))
             out_c = em.esm_msa_apply(params, jnp.asarray(toks), row_chunk=2)
+            out_cc = em.esm_msa_apply(params, jnp.asarray(toks), col_chunk=5)
+            # auto trigger: R*C = 6*13 = 78 > 64 engages BOTH chunkings
+            out_auto = em.esm_msa_apply(params, jnp.asarray(toks),
+                                        max_tokens_per_msa=64)
         finally:
             em.EMBED_DIM, em.HEADS, em.HEAD_DIM = old
         t = out_t["representations"][12][0].numpy()
         assert np.abs(t - np.asarray(out_j["representations"][12])).max() < 1e-4
         assert np.abs(t - np.asarray(out_c["representations"][12])).max() < 1e-4
+        assert np.abs(t - np.asarray(out_cc["representations"][12])).max() < 1e-4
+        assert np.abs(t - np.asarray(out_auto["representations"][12])).max() < 1e-4
         at = out_t["row_attentions"][0].numpy()
         assert np.abs(at - np.asarray(out_j["row_attentions"])).max() < 1e-4
+
+
+@pytest.mark.skipif(not (HAS_REF and HAS_TORCH), reason="no torch oracle")
+class TestESM1bResIdxOracle:
+    def test_custom_res_idx_parity(self):
+        """The real ESM-MSA-1b checkpoint resolves to the MSATransformer1b
+        arm (embed_positions_msa=True, pretrained.py:125-132) whose only
+        behavioral difference is custom res_idx positions — verify ours
+        matches with a non-contiguous res_idx."""
+        import argparse
+        from esm.model import MSATransformer1b
+        from esm.data import Alphabet
+        from trx2dy.models.torch_convert import state_dict_to_params
+        import trx2dy.models.esm_msa as em
+        torch.manual_seed(0)
+        alphabet = Alphabet.from_architecture("msa_transformer")
+        args = argparse.Namespace(
+            layers=12, embed_dim=96, ffn_embed_dim=384, attention_heads=12,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            max_tokens_per_msa=2 ** 30, max_positions=1024,
+            embed_positions_msa=True, embed_positions_msa_dim=1,
+            max_tokens=2 ** 30)
+        tm = MSATransformer1b(args, alphabet)
+        tm.eval()
+        R, L = 5, 12
+        rng = np.random.default_rng(2)
+        toks = em.mymsa_to_esmmsa(rng.integers(0, 21, (R, L)))
+        # interior-gap residue numbering (an IDR construct, say)
+        res = np.concatenate([np.arange(5), np.arange(20, 27)])
+        with torch.no_grad():
+            out_t = tm(torch.from_numpy(toks[None]).long(),
+                       repr_layers=[12],
+                       res_idx=torch.from_numpy(res[None]).long())
+        params = state_dict_to_params(tm.state_dict())
+        old = (em.EMBED_DIM, em.HEADS, em.HEAD_DIM)
+        em.EMBED_DIM, em.HEADS, em.HEAD_DIM = 96, 12, 8
+        try:
+            out_j = em.esm_msa_apply(params, jnp.asarray(toks),
+                                     need_head_weights=False,
+                                     res_idx=jnp.asarray(res))
+        finally:
+            em.EMBED_DIM, em.HEADS, em.HEAD_DIM = old
+        t = out_t["representations"][12][0].numpy()
+        assert np.abs(t - np.asarray(out_j["representations"][12])).max() \
+            < 1e-4
+
+
+@pytest.mark.skipif(not (HAS_REF and HAS_TORCH), reason="no torch oracle")
+class TestESMDeepMSA:
+    def test_deep_msa_forward_auto_chunked(self):
+        """A deep MSA forward must pass on CPU: the max_tokens_per_msa auto
+        trigger bounds column attention to (H, col_chunk, R, R) blocks
+        instead of the full (H, C, R, R). R=1024 is the architectural max —
+        the reference's msa_position_embedding is (1, 1024, 1, 1)
+        (esm/model.py:300-311), so deeper MSAs fail in the reference too."""
+        import argparse
+        from esm.model import MSATransformer
+        from esm.data import Alphabet
+        from trx2dy.models.torch_convert import state_dict_to_params
+        import trx2dy.models.esm_msa as em
+        torch.manual_seed(0)
+        alphabet = Alphabet.from_architecture("msa_transformer")
+        args = argparse.Namespace(
+            layers=12, embed_dim=96, ffn_embed_dim=384, attention_heads=12,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            max_tokens_per_msa=2 ** 30, max_positions=1024,
+            embed_positions_msa=True, max_tokens=2 ** 30)
+        tm = MSATransformer(args, alphabet)
+        tm.eval()
+        params = state_dict_to_params(tm.state_dict())
+        R, L = 1024, 64
+        rng = np.random.default_rng(1)
+        toks = em.mymsa_to_esmmsa(rng.integers(0, 21, (R, L)))
+        old = (em.EMBED_DIM, em.HEADS, em.HEAD_DIM)
+        em.EMBED_DIM, em.HEADS, em.HEAD_DIM = 96, 12, 8
+        try:
+            # 2^14 is the model-args default (esm/model.py:269-276);
+            # R*C = 1024*65 >> 2^14 engages row_chunk=252 and col_chunk=16
+            out = em.esm_msa_apply(params, jnp.asarray(toks),
+                                   need_head_weights=False,
+                                   max_tokens_per_msa=2 ** 14)
+            rep = np.asarray(out["representations"][12])
+            assert rep.shape == (R, L + 1, 96), rep.shape
+            assert np.isfinite(rep).all()
+            # spot-check exactness: first 8 rows through the unchunked path
+            # must match the same rows' embedding trajectory is NOT expected
+            # (row attention ties over ALL rows) — instead check chunked
+            # column attention against a manual chunk size on a slice
+            out2 = em.esm_msa_apply(params, jnp.asarray(toks[:24]),
+                                    need_head_weights=False)
+            out3 = em.esm_msa_apply(params, jnp.asarray(toks[:24]),
+                                    need_head_weights=False,
+                                    row_chunk=7, col_chunk=3)
+            d = np.abs(np.asarray(out2["representations"][12])
+                       - np.asarray(out3["representations"][12])).max()
+            assert d < 1e-4, d
+        finally:
+            em.EMBED_DIM, em.HEADS, em.HEAD_DIM = old
 
 
 @pytest.mark.skipif(not (HAS_REF and HAS_TORCH), reason="no torch oracle")

@@ -107,24 +107,51 @@ def _row_attention(p: Params, name: str, x, padding_mask,
     return out, attn
 
 
-def _col_attention(p: Params, name: str, x, padding_mask):
-    """Column self-attention (axial_attention.py:140-245). x (R, C, D)."""
+def _col_attention(p: Params, name: str, x, padding_mask,
+                   col_chunk: Optional[int] = None):
+    """Column self-attention (axial_attention.py:140-245). x (R, C, D).
+
+    Each column's (R x R) attention is independent, so chunking over
+    columns is exact — the analog of the reference's _batched_forward
+    column split (axial_attention.py:166-188). With col_chunk set, columns
+    are processed in blocks of that size under lax.scan, bounding the
+    (H, C, R, R) logits tensor to (H, col_chunk, R, R)."""
     R, C, D = x.shape
     if R == 1:
         return linear(p, f"{name}.out_proj",
                       linear(p, f"{name}.v_proj", x))
-    q = linear(p, f"{name}.q_proj", x).reshape(R, C, HEADS, HEAD_DIM) \
-        * HEAD_DIM ** -0.5
-    k = linear(p, f"{name}.k_proj", x).reshape(R, C, HEADS, HEAD_DIM)
-    v = linear(p, f"{name}.v_proj", x).reshape(R, C, HEADS, HEAD_DIM)
-    attn_w = jnp.einsum("ichd,jchd->hcij", q, k, precision=_HI)
-    if padding_mask is not None:
-        attn_w = jnp.where(
-            jnp.transpose(padding_mask, (1, 0))[None, :, None, :] > 0,
-            -10000.0, attn_w)
-    attn = jax.nn.softmax(attn_w, axis=-1)
-    ctx = jnp.einsum("hcij,jchd->ichd", attn, v, precision=_HI)
-    return linear(p, f"{name}.out_proj", ctx.reshape(R, C, -1))
+
+    def block(xc, mask_c):
+        # xc (R, Cc, D); mask_c (R, Cc) or None
+        Cc = xc.shape[1]
+        q = linear(p, f"{name}.q_proj", xc).reshape(R, Cc, HEADS, HEAD_DIM) \
+            * HEAD_DIM ** -0.5
+        k = linear(p, f"{name}.k_proj", xc).reshape(R, Cc, HEADS, HEAD_DIM)
+        v = linear(p, f"{name}.v_proj", xc).reshape(R, Cc, HEADS, HEAD_DIM)
+        attn_w = jnp.einsum("ichd,jchd->hcij", q, k, precision=_HI)
+        if mask_c is not None:
+            attn_w = jnp.where(
+                jnp.transpose(mask_c, (1, 0))[None, :, None, :] > 0,
+                -10000.0, attn_w)
+        attn = jax.nn.softmax(attn_w, axis=-1)
+        ctx = jnp.einsum("hcij,jchd->ichd", attn, v, precision=_HI)
+        return linear(p, f"{name}.out_proj", ctx.reshape(R, Cc, -1))
+
+    if col_chunk is None or C <= col_chunk:
+        return block(x, padding_mask)
+
+    n_chunks = (C + col_chunk - 1) // col_chunk
+    pad_to = n_chunks * col_chunk
+    xp = jnp.pad(x, ((0, 0), (0, pad_to - C), (0, 0)))
+    mp = jnp.pad(padding_mask if padding_mask is not None
+                 else jnp.zeros(x.shape[:2], x.dtype),
+                 ((0, 0), (0, pad_to - C)), constant_values=1.0)
+    # (R, n, cc, D) -> (n, R, cc, D) so scan iterates over column blocks
+    xc = jnp.moveaxis(xp.reshape(R, n_chunks, col_chunk, D), 1, 0)
+    mc = jnp.moveaxis(mp.reshape(R, n_chunks, col_chunk), 1, 0)
+    out = jax.lax.scan(lambda _, args: (None, block(args[0], args[1])),
+                       None, (xc, mc))[1]                   # (n, R, cc, D)
+    return jnp.moveaxis(out, 0, 1).reshape(R, pad_to, D)[:, :C]
 
 
 def _ffn(p: Params, name: str, x):
@@ -132,20 +159,49 @@ def _ffn(p: Params, name: str, x):
     return linear(p, f"{name}.fc2", h)
 
 
+MAX_TOKENS_PER_MSA = 2 ** 16   # reference default (esm/pretrained.py:61)
+
+
 def esm_msa_apply(p: Params, tokens: jnp.ndarray, repr_layers=(12,),
                   need_head_weights: bool = True,
-                  row_chunk: Optional[int] = None):
+                  row_chunk: Optional[int] = None,
+                  col_chunk: Optional[int] = None,
+                  max_tokens_per_msa: int = MAX_TOKENS_PER_MSA,
+                  res_idx: Optional[jnp.ndarray] = None):
     """MSATransformer.forward (esm/model.py:334-420) for one MSA.
+
+    The real esm_msa1_t12_100M_UR50S.pt checkpoint has
+    embed_positions_msa=True and therefore resolves to the MSATransformer1b
+    loader arm (esm/pretrained.py:125-132); its forward (esm/model.py:586)
+    differs from the base model only in accepting custom residue positions
+    (res_idx), supported here. With res_idx=None — or the contiguous
+    arange the reference predict.py always passes (predict.py:157) — the
+    two arms are numerically identical.
 
     Args:
       tokens: (R, C) int ESM-vocab tokens (C includes the prepended cls).
       row_chunk: when set, tied-row attention logits accumulate over row
         blocks of this size (the reference's max_tokens_per_msa chunking).
+      col_chunk: when set, column attention runs over column blocks of
+        this size (exact — per-column softmaxes are independent).
+      max_tokens_per_msa: when R*C exceeds this, both chunkings engage
+        automatically with the reference's block sizes
+        (axial_attention.py:127,242: max_rows = max_tokens // C for row
+        attention, max_cols = max_tokens // R for column attention).
+      res_idx: optional custom residue positions, (C,) or (C-1,) ints
+        (without the cls slot — a (cls-1) position is prepended, matching
+        esm/model.py:598-601). Positions are shifted so min -> 2 and
+        clamped to [0, 1000] (esm/modules.py:268).
 
     Returns dict with 'representations' {layer: (R, C, 768)},
     'row_attentions' (layers, H, C, C), 'logits' (R, C, vocab).
     """
     R, C = tokens.shape
+    if R * C > max_tokens_per_msa:
+        if row_chunk is None:
+            row_chunk = max(1, max_tokens_per_msa // C)
+        if col_chunk is None:
+            col_chunk = max(1, max_tokens_per_msa // R)
     has_pad = bool((np.asarray(tokens) == PADDING_IDX).any()) \
         if not isinstance(tokens, jax.core.Tracer) else True
     padding_mask = (tokens == PADDING_IDX).astype(jnp.float32) \
@@ -154,8 +210,15 @@ def esm_msa_apply(p: Params, tokens: jnp.ndarray, repr_layers=(12,),
     x = p["embed_tokens.weight"][tokens]                    # (R, C, 768)
 
     # LearnedPositionalEmbedding (esm/modules.py:241-270)
-    mask = (tokens != PADDING_IDX).astype(jnp.int32)
-    positions = jnp.cumsum(mask, axis=1) * mask + PADDING_IDX
+    if res_idx is None:
+        mask = (tokens != PADDING_IDX).astype(jnp.int32)
+        positions = jnp.cumsum(mask, axis=1) * mask + PADDING_IDX
+    else:
+        r = jnp.asarray(res_idx).reshape(-1)
+        if r.shape[0] == C - 1:                 # no cls slot: prepend one
+            r = jnp.concatenate([r[:1] - 1, r])
+        positions = jnp.clip(r + (2 - jnp.min(r)), 0, 1000)
+        positions = jnp.broadcast_to(positions[None, :], (R, C))
     x = x + p["embed_positions.weight"][positions]
 
     if "msa_position_embedding" in p:
@@ -181,7 +244,7 @@ def esm_msa_apply(p: Params, tokens: jnp.ndarray, repr_layers=(12,),
         # column attention
         h = layer_norm(p, f"{base}.column_self_attention.layer_norm", x)
         h = _col_attention(p, f"{base}.column_self_attention.layer", h,
-                           padding_mask)
+                           padding_mask, col_chunk=col_chunk)
         x = x + h
         # FFN
         h = layer_norm(p, f"{base}.feed_forward_layer.layer_norm", x)

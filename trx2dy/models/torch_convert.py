@@ -56,6 +56,15 @@ def load_esm_checkpoint(path: str, dtype=np.float32) -> Dict[str, jnp.ndarray]:
     and SWAP 'row' <-> 'column' in key names (the checkpoint stores the
     axial attentions under exchanged names). Plain state_dicts (already
     upgraded / saved by us) pass through unchanged.
+
+    Loader-arm note: the real esm_msa1_t12_100M_UR50S.pt has
+    embed_positions_msa=True, so the reference selects MSATransformer1b
+    (pretrained.py:125-132) rather than the base MSATransformer. The two
+    share identical parameters — the 1b arm only adds the custom res_idx
+    forward argument (esm/model.py:586-602), which esm_msa_apply supports
+    — so this conversion covers both arms unchanged (its
+    msa_position_embedding is (1, 1024, 1, 1), the emb_dim==1
+    initial-release shape the loader special-cases).
     """
     import torch
     data = torch.load(path, map_location="cpu", weights_only=False)
