@@ -88,6 +88,87 @@ class TestTrainStep:
                                    np.asarray(state_1d.params[k]), atol=1e-4)
 
 
+class TestTrainingDropout:
+    def test_dropout_is_structured_and_deterministic(self):
+        from trx2dy.models.predictor2d import predictor2d_apply
+        params = init_params(jax.random.PRNGKey(5), depth=1)
+        f2d, msa, _, _ = _tiny_batch(1, 3, 8, seed=5)
+        rng = jax.random.PRNGKey(7)
+        a = predictor2d_apply(params, f2d[0], msa[0], depth=1,
+                              dropout_rng=rng)
+        b = predictor2d_apply(params, f2d[0], msa[0], depth=1,
+                              dropout_rng=rng)
+        c = predictor2d_apply(params, f2d[0], msa[0], depth=1,
+                              dropout_rng=jax.random.PRNGKey(8))
+        d = predictor2d_apply(params, f2d[0], msa[0], depth=1)
+        # same rng -> identical; different rng -> different; None -> eval path
+        np.testing.assert_array_equal(np.asarray(a["dist"]),
+                                      np.asarray(b["dist"]))
+        assert np.abs(np.asarray(a["dist"])
+                      - np.asarray(c["dist"])).max() > 0
+        assert np.abs(np.asarray(a["dist"])
+                      - np.asarray(d["dist"])).max() > 0
+
+    def test_rowwise_mask_shares_rows(self):
+        from trx2dy.models.predictor2d import (
+            _dropout_rowwise, _dropout_columnwise)
+        x = jnp.ones((16, 16, 4))
+        r = np.asarray(_dropout_rowwise(jax.random.PRNGKey(0), x, 0.5))
+        c = np.asarray(_dropout_columnwise(jax.random.PRNGKey(0), x, 0.5))
+        # one mask broadcast across dim -3: every row identical
+        assert (r == r[0:1]).all()
+        assert 0.0 in r and not (r == 0).all()
+        # columnwise: every column identical
+        assert (c == c[:, 0:1]).all()
+
+    def test_train_step_with_dropout_and_remat_reduces_loss(self):
+        params = init_params(jax.random.PRNGKey(6), depth=1)
+        opt = make_optimizer(lr=3e-3)
+        state = init_train_state(params, opt)
+        step = make_train_step(opt, mesh=None, depth=1, dropout=True,
+                               remat=True)
+        batch = _tiny_batch(2, 3, 8, seed=6)
+        state, l0 = step(state, *batch)
+        losses = []
+        for _ in range(8):
+            state, l1 = step(state, *batch)
+            losses.append(float(l1))
+        assert np.isfinite(losses).all()
+        # dropout adds noise; compare smoothed tail vs head
+        assert np.mean(losses[-3:]) < float(l0)
+
+
+class TestShardedInferenceTrunk:
+    def test_mp_sharded_predictor2d_matches_unsharded(self):
+        """PARITY §2.3 claims MSA rows shard over 'mp' with psums inserted
+        by the partitioner — execute the INFERENCE trunk sharded and assert
+        numerical equality with the single-device result."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from trx2dy.models.predictor2d import predictor2d_apply
+
+        mesh = make_mesh(jax.devices()[:8])       # dp=4, mp=2
+        params = init_params(jax.random.PRNGKey(9), depth=2)
+        rng = np.random.default_rng(9)
+        R, L = 8, 12
+        f2d = jnp.asarray(rng.normal(size=(L, L, 526)).astype(np.float32))
+        msa = jnp.asarray(rng.integers(0, 21, (R, L)))
+
+        ref = jax.jit(lambda p, f, m: predictor2d_apply(p, f, m, depth=2))(
+            params, f2d, msa)
+
+        repl = NamedSharding(mesh, P())
+        msa_sh = NamedSharding(mesh, P("mp", None))   # rows over mp
+        fn = jax.jit(lambda p, f, m: predictor2d_apply(p, f, m, depth=2),
+                     in_shardings=(repl, repl, msa_sh),
+                     out_shardings=repl)
+        with mesh:
+            out = fn(params, f2d, msa)
+        for k in ("dist", "omega", "theta", "phi"):
+            np.testing.assert_allclose(np.asarray(out[k]),
+                                       np.asarray(ref[k]),
+                                       atol=2e-4, rtol=1e-4)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import __graft_entry__ as ge

@@ -122,10 +122,40 @@ def sigmoid(x):
 # modules (names follow evoutils source)
 # --------------------------------------------------------------------------
 
-def feed_forward(p: Params, name: str, x):
-    """FeedForward (attn_conv.py:52-68): Linear(d,4d) ReLU Linear(4d,d)."""
+def feed_forward(p: Params, name: str, x, drop=None):
+    """FeedForward (attn_conv.py:52-68): Linear(d,4d) ReLU [Dropout]
+    Linear(4d,d). drop: optional (rng, rate) for the training-time dropout
+    between the activation and the second linear (attn_conv.py:64)."""
     h = jax.nn.relu(linear(p, f"{name}.feed_forward.0", x))
+    if drop is not None:
+        h = _dropout(drop[0], h, drop[1])
     return linear(p, f"{name}.feed_forward.3", h)
+
+
+# --------------------------------------------------------------------------
+# training-time dropout (evoutils/dropout.py:35-78 semantics)
+# --------------------------------------------------------------------------
+
+def _dropout(key, x, rate):
+    """Plain elementwise inverted dropout."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _dropout_rowwise(key, x, rate):
+    """Row-broadcast dropout: ONE bernoulli mask shared across dim -3
+    (DropoutRowwise, evoutils/dropout.py:63-70) — whole pair-rows drop
+    together, the AF2 1.11.6 structured-dropout pattern."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, (1,) + x.shape[-2:])
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _dropout_columnwise(key, x, rate):
+    """Column-broadcast dropout: mask shared across dim -2
+    (DropoutColumnwise, evoutils/dropout.py:71-78)."""
+    keep = jax.random.bernoulli(
+        key, 1.0 - rate, x.shape[:-2] + (1,) + x.shape[-1:])
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
 def bottle2neck(p: Params, name: str, x):
@@ -195,26 +225,39 @@ def pair_transition(p: Params, name: str, z):
                   jax.nn.relu(linear(p, f"{name}.linear1", z)))
 
 
-def tri_update(p: Params, name: str, z, use_flash: bool = False):
+def tri_update(p: Params, name: str, z, use_flash: bool = False,
+               dropout=None):
     """TriUpdate (attn_conv.py:147-189); dropout = identity at inference.
 
     use_flash: route the triangle attentions through the Pallas flash
     kernel (trx2dy.ops.triangle_attention) — avoids the O(L^3 H) logits
-    tensor; recommended for L >~ 300 on TPU."""
+    tensor; recommended for L >~ 300 on TPU.
+    dropout: optional (rng, rate) enabling the training-time structured
+    dropout (attn_conv.py:158-185): row-broadcast on the tri-mult and
+    row-attention branches, column-broadcast on the column-attention
+    branch, rate dropout_rate_pair=0.10."""
     if use_flash:
         from trx2dy.ops.triangle_attention import triangle_attention_pallas
         tri_attn = triangle_attention_pallas
     else:
         tri_attn = triangle_attention
-    z = z + triangle_multiplication(p, f"{name}.pair_multi_out", z,
-                                    "outgoing") \
+    if dropout is None:
+        row_d = col_d = lambda _, x: x
+        keys = [None] * 4
+    else:
+        rng, rate = dropout
+        keys = list(jax.random.split(rng, 4))
+        row_d = lambda k, x: _dropout_rowwise(k, x, rate)
+        col_d = lambda k, x: _dropout_columnwise(k, x, rate)
+    z = z + row_d(keys[0], triangle_multiplication(
+            p, f"{name}.pair_multi_out", z, "outgoing")) \
         + bottle2neck(p, f"{name}.conv_stem.0.1", z)
-    z = z + triangle_multiplication(p, f"{name}.pair_multi_in", z,
-                                    "incoming") \
+    z = z + row_d(keys[1], triangle_multiplication(
+            p, f"{name}.pair_multi_in", z, "incoming")) \
         + bottle2neck(p, f"{name}.conv_stem.1.1", z)
-    z = z + tri_attn(p, f"{name}.pair_row_attn", z, "row") \
+    z = z + row_d(keys[2], tri_attn(p, f"{name}.pair_row_attn", z, "row")) \
         + bottle2neck(p, f"{name}.conv_stem.2.1", z)
-    z = z + tri_attn(p, f"{name}.pair_col_attn", z, "col") \
+    z = z + col_d(keys[3], tri_attn(p, f"{name}.pair_col_attn", z, "col")) \
         + bottle2neck(p, f"{name}.conv_stem.3.1", z)
     z = z + pair_transition(p, f"{name}.pair_trans", z)
     return z
@@ -277,8 +320,10 @@ def update_x(p: Params, name: str, x, m):
     return x + linear(p, f"{name}.proj_down2", outer)
 
 
-def update_m(p: Params, name: str, x, m, n_heads: int = 8):
-    """UpdateM (attn_conv.py:374-395): pair-derived attention over MSA."""
+def update_m(p: Params, name: str, x, m, n_heads: int = 8, ff_drop=None):
+    """UpdateM (attn_conv.py:374-395): pair-derived attention over MSA.
+    ff_drop: optional (rng, rate) — its FeedForward carries dropout=0.1
+    (attn_conv.py:382), the one live elementwise dropout in the trunk."""
     pair = (x + jnp.swapaxes(x, 0, 1)) / 2.0
     pair = layer_norm(p, f"{name}.norm1", pair)
     attn = jax.nn.softmax(linear(p, f"{name}.linear1", pair), axis=-2)
@@ -288,7 +333,8 @@ def update_m(p: Params, name: str, x, m, n_heads: int = 8):
     attn_out = attn_out.reshape(m.shape[0], m.shape[1], -1)
     out = m + attn_out
     return out + feed_forward(p, f"{name}.ff",
-                              layer_norm(p, f"{name}.norm3", out))
+                              layer_norm(p, f"{name}.norm3", out),
+                              drop=ff_drop)
 
 
 def relpos_embed(p: Params, name: str, res_id):
@@ -306,7 +352,9 @@ def relpos_embed(p: Params, name: str, res_id):
 def predictor2d_apply(p: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
                       res_id=None, depth: int = DEPTH, prefix: str = "net",
                       msa_emb=None, rec_reprs=None, return_repr: bool = False,
-                      use_flash: bool = False):
+                      use_flash: bool = False, dropout_rng=None,
+                      pair_dropout: float = 0.10, ff_dropout: float = 0.10,
+                      remat: bool = False):
     """Forward pass (attn_conv.py:534-605; e2e flavor attn_conv_e2e.py:525-
     576 differs only by in_dim/num_tokens, the optional ESM msa_emb added to
     the token embedding, and the recycling injection rec_reprs).
@@ -319,6 +367,13 @@ def predictor2d_apply(p: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
       msa_emb: optional (R, L, 768) ESM representations (e2e path).
       rec_reprs: optional dict {'single': (L, dim), 'pair': (L, L, dim)}
         recycling embeddings (attn_conv_e2e.py:550-552).
+      dropout_rng: training only — enables the reference's structured
+        dropout (row/column-broadcast in TriUpdate at pair_dropout=0.10,
+        elementwise in UpdateM's FF at ff_dropout=0.10); None = inference
+        (all dropout identity).
+      remat: rematerialize each trunk block (jax.checkpoint) — the
+        torch.utils.checkpoint equivalent (attn_conv.py:183-185,303-313)
+        for training memory.
 
     Returns dict of LOGITS {dist (L,L,37), omega (L,L,25), theta (L,L,25),
     phi (L,L,13)} — softmax is applied by the caller like the reference
@@ -338,14 +393,31 @@ def predictor2d_apply(p: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
         x = x + rec_reprs["pair"]
     x = x + relpos_embed(p, f"{prefix}.input_emb.relpos", res_id)
 
-    for i in range(depth):
+    if dropout_rng is not None:
+        block_keys = jax.random.split(dropout_rng, depth)
+
+    def block_body(x, m, i, key):
         blk = f"{prefix}.net.blocks.{i}"
+        tri_drop = ff_drop = None
+        if key is not None:
+            k_tri, k_ff = jax.random.split(key)
+            tri_drop = (k_tri, pair_dropout)
+            ff_drop = (k_ff, ff_dropout)
         m = m + msa_attention(p, f"{blk}.1", m, x)
         m = m + feed_forward(p, f"{blk}.3.fn",
                              layer_norm(p, f"{blk}.3.norm", m))
         x = update_x(p, f"{blk}.2", x, m)
-        x = tri_update(p, f"{blk}.0", x, use_flash=use_flash)
-        m = update_m(p, f"{blk}.4", x, m)
+        x = tri_update(p, f"{blk}.0", x, use_flash=use_flash,
+                       dropout=tri_drop)
+        m = update_m(p, f"{blk}.4", x, m, ff_drop=ff_drop)
+        return x, m
+
+    for i in range(depth):
+        body = (lambda i: lambda x, m, key: block_body(x, m, i, key))(i)
+        if remat:
+            body = jax.checkpoint(body)
+        x, m = body(x, m,
+                    block_keys[i] if dropout_rng is not None else None)
 
     sym = (x + jnp.swapaxes(x, 0, 1)) * 0.5
     head = lambda name, t: conv2d(p, name, t)

@@ -37,13 +37,18 @@ class TrainState(NamedTuple):
 def geometry_loss(params: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
                   labels: Dict[str, jnp.ndarray],
                   mask: Optional[jnp.ndarray] = None,
-                  depth: int = 12) -> jnp.ndarray:
+                  depth: int = 12, dropout_rng=None,
+                  remat: bool = False) -> jnp.ndarray:
     """Masked mean cross-entropy over the four heads for ONE sample.
 
     labels: dict of (L, L) int bin indices; mask: (L, L) bool of valid pairs
     (e.g. resolved residues within the 20 A contact shell for angles).
+    dropout_rng enables the reference's training-time structured dropout
+    (evoutils/dropout.py:63-78 semantics); remat rematerializes each trunk
+    block (the torch.utils.checkpoint equivalent).
     """
-    logits = predictor2d_apply(params, f2d, msa, depth=depth)
+    logits = predictor2d_apply(params, f2d, msa, depth=depth,
+                               dropout_rng=dropout_rng, remat=remat)
     if mask is None:
         mask = jnp.ones(f2d.shape[:2], bool)
     total = jnp.asarray(0.0)
@@ -55,12 +60,21 @@ def geometry_loss(params: Params, f2d: jnp.ndarray, msa: jnp.ndarray,
     return total
 
 
-def batched_loss(params, f2d, msa, labels, mask, depth: int = 12):
+def batched_loss(params, f2d, msa, labels, mask, depth: int = 12,
+                 dropout_rng=None, remat: bool = False):
     """Mean loss over the leading batch axis (vmapped single-sample loss)."""
-    per = jax.vmap(
-        lambda f, m, lab, mk: geometry_loss(params, f, m, lab, mk,
-                                            depth=depth),
-        in_axes=(0, 0, 0, 0))(f2d, msa, labels, mask)
+    if dropout_rng is None:
+        per = jax.vmap(
+            lambda f, m, lab, mk: geometry_loss(params, f, m, lab, mk,
+                                                depth=depth, remat=remat),
+            in_axes=(0, 0, 0, 0))(f2d, msa, labels, mask)
+    else:
+        rngs = jax.random.split(dropout_rng, f2d.shape[0])
+        per = jax.vmap(
+            lambda f, m, lab, mk, r: geometry_loss(
+                params, f, m, lab, mk, depth=depth, dropout_rng=r,
+                remat=remat),
+            in_axes=(0, 0, 0, 0, 0))(f2d, msa, labels, mask, rngs)
     return jnp.mean(per)
 
 
@@ -79,17 +93,26 @@ def init_train_state(params: Params,
 
 
 def make_train_step(optimizer: optax.GradientTransformation,
-                    mesh: Optional[Mesh] = None, depth: int = 12):
+                    mesh: Optional[Mesh] = None, depth: int = 12,
+                    dropout: bool = False, remat: bool = False,
+                    dropout_seed: int = 0):
     """Build the jitted (optionally mesh-sharded) train step.
 
     With a mesh: params/opt_state replicated, batch inputs sharded over
     'dp', the MSA row axis additionally sharded over 'mp'. The jit partitioner
     turns the tied-row attention reductions into psums over ICI.
+
+    dropout=True enables the reference's structured training dropout
+    (per-step rng folded from dropout_seed and the step counter);
+    remat=True rematerializes each trunk block.
     """
 
     def step_fn(state: TrainState, f2d, msa, labels, mask):
+        rng = jax.random.fold_in(jax.random.PRNGKey(dropout_seed),
+                                 state.step) if dropout else None
         loss, grads = jax.value_and_grad(batched_loss)(
-            state.params, f2d, msa, labels, mask, depth=depth)
+            state.params, f2d, msa, labels, mask, depth=depth,
+            dropout_rng=rng, remat=remat)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
