@@ -26,11 +26,13 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/trx2dy_jax_cache")
-
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+from trx2dy.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 L = 150
 N_DECOYS = 50

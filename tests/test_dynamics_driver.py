@@ -240,3 +240,29 @@ class TestResumeAndBatch:
         for name in ("t1", "t2"):
             pdbs = os.listdir(tmp_path / "out" / name / "pred_pdb")
             assert any(p.startswith("conf_1") for p in pdbs), name
+
+
+class TestFullAtomOutput:
+    def test_driver_emits_full_atom_pdbs(self, tmp_path):
+        """With full_atom on, decoys carry sidechain heavy atoms
+        (reference dumps full-atom poses after relax, folding.py:273)."""
+        L = 16
+        seq = "ARNDCQEGHILKMFPS"
+        npz = _rand_npz(L, key=12)
+        cfg = DynamicsConfig(init_num=2, Nmax=1, max_iter=10,
+                             fastrelax=False, full_atom=True)
+        pdb_dir = str(tmp_path / "pred_pdb")
+        generate_ensemble("t", str(tmp_path / "tmp_npz"), pdb_dir, npz, seq,
+                          cfg, jax.random.PRNGKey(0))
+        path = os.path.join(pdb_dir, "initial0.pdb")
+        names = {ln[12:16].strip() for ln in open(path)
+                 if ln.startswith("ATOM")}
+        # arginine NH1/CZ etc. prove sidechains beyond CB are present
+        assert {"N", "CA", "C", "O", "CB"} <= names
+        assert {"CG", "CD", "NE", "CZ"} <= names
+
+    def test_full_atom_defaults_follow_fastrelax(self):
+        assert DynamicsConfig(fastrelax=False).emit_full_atom is False
+        assert DynamicsConfig(fastrelax=True).emit_full_atom is True
+        assert DynamicsConfig(fastrelax=True,
+                              full_atom=False).emit_full_atom is False

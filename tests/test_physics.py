@@ -280,3 +280,36 @@ class TestRestraintVariants:
         with pytest.raises(ValueError):
             fold_ensemble(_rand_npz(6), "AAAAAA", jax.random.PRNGKey(0), 1,
                           rst_mode="gpcr")
+
+
+class TestFastRelaxRamp:
+    """FastRelax substitute: repulsive/constraint weight ramping with
+    accept_to_best (data/1relax_round1.txt, folding.py:200-268)."""
+
+    def test_ramp_weights(self):
+        from trx2dy.physics.folder import (
+            _ramped_relax_weights, SCOREFXN_RELAX, RELAX_SCHEDULE_R1,
+        )
+        w = _ramped_relax_weights(*RELAX_SCHEDULE_R1[0][:2])
+        assert w.vdw == pytest.approx(SCOREFXN_RELAX.vdw * 0.02)
+        assert w.atom_pair == pytest.approx(SCOREFXN_RELAX.atom_pair)
+        w_last = _ramped_relax_weights(*RELAX_SCHEDULE_R1[-1][:2])
+        assert w_last.vdw == pytest.approx(SCOREFXN_RELAX.vdw)
+        assert w_last.dihedral == pytest.approx(
+            SCOREFXN_RELAX.dihedral * 0.1)
+
+    def test_fold_with_relax_is_finite_and_not_worse(self):
+        L = 16
+        npz = _rand_npz(L, key=9)
+        seq = "ARNDCQEGHILKMFPS"
+        kw = dict(mode=2, max_iter=25)
+        base = fold_ensemble(npz, seq, jax.random.PRNGKey(1), n_decoys=2,
+                             fastrelax=False, **kw)
+        relaxed = fold_ensemble(npz, seq, jax.random.PRNGKey(1), n_decoys=2,
+                                fastrelax=True, **kw)
+        assert np.isfinite(np.asarray(relaxed.energy)).all()
+        for a in ("N", "CA", "C", "O", "CB"):
+            assert np.isfinite(np.asarray(relaxed.atoms[a])).all()
+        ca = np.asarray(relaxed.atoms["CA"])
+        d = np.linalg.norm(np.diff(ca, axis=1), axis=-1)
+        assert (d < 4.2).all() and (d > 2.7).all()

@@ -33,11 +33,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", type=int, dest="steps", default=1000)
     p.add_argument("--n_decoys", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backbone_only", action="store_true",
+                   help="skip sidechain packing even after fastrelax")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from trx2dy.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     import jax
     from trx2dy.io.a3m import read_fasta
@@ -52,16 +56,24 @@ def main(argv=None) -> None:
                         use_orient=args.use_orient, fastrelax=args.fastrelax,
                         pcut=args.pcut, max_iter=args.steps,
                         rst_mode=args.rst, known_npz=known)
-    atoms = {k: np.asarray(v) for k, v in res.atoms.items()}
     if args.n_decoys == 1:
-        write_pdb_backbone(args.OUT, seq, {k: v[0] for k, v in atoms.items()})
-        print(f"[trx2dy] wrote {args.OUT} (energy {float(res.energy[0]):.1f})")
+        paths = [args.OUT]
     else:
         stem, ext = os.path.splitext(args.OUT)
-        for b in range(args.n_decoys):
-            out = f"{stem}_{b}{ext or '.pdb'}"
+        paths = [f"{stem}_{b}{ext or '.pdb'}" for b in range(args.n_decoys)]
+    if args.fastrelax and not args.backbone_only:
+        # reference contract: relaxed poses are dumped FULL-ATOM
+        # (fa_standard switch + dump_pdb, folding.py:220,273)
+        from trx2dy.physics.sidechain import pack_and_write
+        pack_and_write(paths, seq, res.torsions)
+    else:
+        atoms = {k: np.asarray(v) for k, v in res.atoms.items()}
+        for b, out in enumerate(paths):
             write_pdb_backbone(out, seq, {k: v[b] for k, v in atoms.items()})
-        print(f"[trx2dy] wrote {args.n_decoys} decoys to {stem}_*.pdb")
+    if args.n_decoys == 1:
+        print(f"[trx2dy] wrote {args.OUT} (energy {float(res.energy[0]):.1f})")
+    else:
+        print(f"[trx2dy] wrote {args.n_decoys} decoys")
 
 
 if __name__ == "__main__":

@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from trx2dy.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from trx2dy.dynamics.driver import DynamicsConfig, run_single
 
     cfg = DynamicsConfig(init_num=args.init_num, Nmax=args.Nmax,

@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from trx2dy.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     import jax
     import jax.numpy as jnp

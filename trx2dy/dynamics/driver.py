@@ -53,7 +53,16 @@ class DynamicsConfig:
     max_iter: int = 1000
     seed: int = 0
     n_chains: int = 1
+    # full-atom decoy output (sidechain packing). None = follow fastrelax,
+    # mirroring the reference: FastRelax switches to fa_standard and dumps
+    # full-atom PDBs (folding.py:220,273); without relax the pose stays
+    # centroid (backbone + CB).
+    full_atom: Optional[bool] = None
     fold_kwargs: dict = field(default_factory=dict)
+
+    @property
+    def emit_full_atom(self) -> bool:
+        return self.fastrelax if self.full_atom is None else self.full_atom
 
 
 def _fold_and_write(hist: GeomHistograms, seq: str, key, n_decoys: int,
@@ -66,9 +75,14 @@ def _fold_and_write(hist: GeomHistograms, seq: str, key, n_decoys: int,
     res = fold_ensemble(npz, seq, key, n_decoys=n_decoys, mode=cfg.mode,
                         use_orient=cfg.angle, fastrelax=cfg.fastrelax,
                         max_iter=cfg.max_iter, **cfg.fold_kwargs)
-    atoms_np = {k: np.asarray(v) for k, v in res.atoms.items()}
-    for b, path in enumerate(out_paths):
-        write_pdb_backbone(path, seq, {k: v[b] for k, v in atoms_np.items()})
+    if cfg.emit_full_atom:
+        from trx2dy.physics.sidechain import pack_and_write
+        pack_and_write(out_paths, seq, res.torsions)
+    else:
+        atoms_np = {k: np.asarray(v) for k, v in res.atoms.items()}
+        for b, path in enumerate(out_paths):
+            write_pdb_backbone(path, seq,
+                               {k: v[b] for k, v in atoms_np.items()})
     return res
 
 
@@ -330,13 +344,22 @@ def _generate_ensemble_chains(pdb_name, processed_npz_dir, pred_pdb_dir,
                          use_orient=cfg.angle, fastrelax=cfg.fastrelax,
                          max_iter=cfg.max_iter)
         atoms_np = {a: np.asarray(v) for a, v in fr.atoms.items()}
+        if cfg.emit_full_atom:
+            from trx2dy.io.pdbio import write_pdb_atom14
+            from trx2dy.physics.sidechain import pack_ensemble
+            xyz14, mask14, _ = pack_ensemble(fr.torsions, seq)
+            xyz14, mask14 = np.asarray(xyz14), np.asarray(mask14)
         for k in range(K):
             if not active[k] or produced - begin_num >= cfg.Nmax:
                 continue
             produced += 1
-            write_pdb_backbone(
-                os.path.join(pred_pdb_dir, f"{pdb_name}{produced}.pdb"),
-                seq, {a: v[k] for a, v in atoms_np.items()})
+            pdb_path = os.path.join(pred_pdb_dir,
+                                    f"{pdb_name}{produced}.pdb")
+            if cfg.emit_full_atom:
+                write_pdb_atom14(pdb_path, seq, xyz14[k], mask14)
+            else:
+                write_pdb_backbone(
+                    pdb_path, seq, {a: v[k] for a, v in atoms_np.items()})
             fact = measure_decoy(fr.atoms["N"][k], fr.atoms["CA"][k],
                                  fr.atoms["C"][k], fr.atoms["CB"][k])
             new_hist = dampen_step(chains[k], fact, sigma=cfg.sigma,

@@ -53,6 +53,25 @@ SCOREFXN_RELAX = EnergyWeights(hbond_sr=3.0, hbond_lr=3.0, rama=1.0,
                                omega=0.5, vdw=0.5,
                                atom_pair=5.0, dihedral=1.0, angle=1.0)
 
+# FastRelax ramp schedules (data/1relax_round1.txt, 2relax_round2.txt):
+# each `ramp_repack_min <fa_rep_scale> <tol> <cst_scale> <iters>` stage scales
+# the repulsive term by fa_rep_scale and every constraint term by cst_scale,
+# then minimizes; `accept_to_best` keeps the best full-score pose per repeat.
+# (round1: switch:torsion repeat 2; round2: switch:cartesian repeat 2 — the
+# cartesian flavour is subsumed in torsion space, bonds/angles are ideal.)
+RELAX_SCHEDULE_R1 = ((0.02, 1.0, 100), (0.25, 0.5, 100),
+                     (0.55, 0.1, 100), (1.0, 0.1, 100))
+RELAX_SCHEDULE_R2 = ((0.02, 1.0, 50), (0.25, 0.5, 50),
+                     (0.55, 0.1, 100), (1.0, 0.1, 200))
+RELAX_REPEATS = 2
+
+
+def _ramped_relax_weights(fa_scale: float, cst_scale: float) -> EnergyWeights:
+    w = SCOREFXN_RELAX
+    return w._replace(vdw=w.vdw * fa_scale, atom_pair=w.atom_pair * cst_scale,
+                      dihedral=w.dihedral * cst_scale,
+                      angle=w.angle * cst_scale)
+
 CLASH_SCORE_CUTOFF = 10.0   # remove_clash threshold (utils_ros.py:699-703)
 CLASH_ROUNDS = 5
 
@@ -166,10 +185,20 @@ def _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
         x = remove_clash(x, e_sf1, masks, max_iter)
 
     if fastrelax:
-        x = lbfgs_minimize(lambda xx: e_relax(xx, rst, relax1_masks), x,
-                           max_iter=max_iter).x
-        x = lbfgs_minimize(lambda xx: e_relax(xx, rst, relax2_masks), x,
-                           max_iter=max_iter).x
+        def relax_round(x, masks, schedule):
+            best_x, best_f = x, e_relax(x, rst, masks)
+            for _ in range(RELAX_REPEATS):
+                for fa, cst, iters in schedule:
+                    e = _batch_energy(_ramped_relax_weights(fa, cst),
+                                      dist_on_ca)
+                    x = lbfgs_minimize(lambda xx: e(xx, rst, masks), x,
+                                       max_iter=iters).x
+                f = e_relax(x, rst, masks)          # accept_to_best
+                best_x = jnp.where((f < best_f)[:, None], x, best_x)
+                best_f = jnp.minimum(f, best_f)
+            return best_x
+        x = relax_round(x, relax1_masks, RELAX_SCHEDULE_R1)
+        x = relax_round(x, relax2_masks, RELAX_SCHEDULE_R2)
 
     final_masks = jax.tree.map(lambda m: m[n_centroid_stages - 1], stage_masks)
     f = e_cent(x, rst, final_masks)
@@ -313,8 +342,24 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         x = stage(x, masks, w_cart)
         x = remove_clash(x, w_sf1, masks, max_iter)
     if fastrelax:
-        x = stage(x, relax1_masks, w_relax)
-        x = stage(x, relax2_masks, w_relax)
+        def full_f(xx, masks):
+            return np.asarray(_stage_init_jit(xx, rst, masks, w_relax,
+                                              ~no_freeze, dist_on_ca,
+                                              multi_rst, remat, fused).f)
+
+        def relax_round(x, masks, schedule):
+            best_x, best_f = x, full_f(x, masks)
+            for _ in range(RELAX_REPEATS):
+                for fa, cst, iters in schedule:
+                    w = weights_to_vec(_ramped_relax_weights(fa, cst))
+                    x = stage(x, masks, w, iters=iters)
+                f = full_f(x, masks)                # accept_to_best
+                best_x = jnp.where(jnp.asarray(f < best_f)[:, None], x,
+                                   best_x)
+                best_f = np.minimum(f, best_f)
+            return np.asarray(best_x)
+        x = relax_round(x, relax1_masks, RELAX_SCHEDULE_R1)
+        x = relax_round(x, relax2_masks, RELAX_SCHEDULE_R2)
     f = _stage_init_jit(x, rst, stages[-1], w_cent, ~no_freeze, dist_on_ca,
                         multi_rst, remat, fused).f
     return x, f
