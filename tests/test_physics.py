@@ -313,3 +313,140 @@ class TestFastRelaxRamp:
         ca = np.asarray(relaxed.atoms["CA"])
         d = np.linalg.norm(np.diff(ca, axis=1), axis=-1)
         assert (d < 4.2).all() and (d > 2.7).all()
+
+
+class TestEnergySelection:
+    """Oversampled energy-gated decoy selection (TPU redesign)."""
+
+    def test_oversample_keeps_lowest_energy(self):
+        L = 20
+        npz = _rand_npz(L, key=21)
+        seq = "ARNDCQEGHILKMFPSTWYV"
+        kw = dict(mode=2, max_iter=20, fastrelax=False)
+        full = fold_ensemble(npz, seq, jax.random.PRNGKey(2), n_decoys=3,
+                             **kw)
+        sel = fold_ensemble(npz, seq, jax.random.PRNGKey(2), n_decoys=2,
+                            oversample=0.5, **kw)   # folds ceil(3) lanes
+        assert sel.torsions.shape == (2, 3, L)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(sel.energy)),
+            np.sort(np.asarray(full.energy))[:2], rtol=1e-5)
+
+    def test_chain_candidates_pick_best_per_chain(self):
+        from trx2dy.physics.folder import fold_chains
+        L = 14
+        npzs = [_rand_npz(L, key=31), _rand_npz(L, key=32)]
+        seq = "ARNDCQEGHILKMF"
+        res = fold_chains(npzs, seq, jax.random.PRNGKey(0), max_iter=15,
+                          fastrelax=False, candidates=2)
+        assert res.torsions.shape == (2, 3, L)
+        base = fold_chains(npzs, seq, jax.random.PRNGKey(0), max_iter=15,
+                           fastrelax=False, candidates=1)
+        # picking among 2 candidates can never be worse than lane 0 alone...
+        # (different RNG lanes, so just assert validity + finiteness)
+        assert np.isfinite(np.asarray(res.energy)).all()
+        assert np.isfinite(np.asarray(base.energy)).all()
+
+
+class TestBatchCompaction:
+    """Converged-lane repacking inside staged execution (B-drain fix)."""
+
+    def test_state_gather_axes(self):
+        from trx2dy.physics.minimize import lbfgs_init, state_gather
+
+        def quad(x):
+            return jnp.sum(x * x, axis=-1)
+        st = lbfgs_init(quad, jnp.arange(24.0).reshape(6, 4))
+        sub = state_gather(st, np.asarray([4, 1]))
+        assert sub.x.shape == (2, 4)
+        assert sub.s_hist.shape == (st.s_hist.shape[0], 2, 4)
+        np.testing.assert_allclose(np.asarray(sub.x[0]),
+                                   np.asarray(st.x[4]))
+        np.testing.assert_allclose(np.asarray(sub.f[1]),
+                                   np.asarray(st.f[1]))
+
+    def test_compaction_matches_uncompacted_fold(self, monkeypatch):
+        import trx2dy.physics.folder as folder_mod
+        L = 18
+        npz = _rand_npz(L, key=41)
+        seq = "ARNDCQEGHILKMFPSTW"
+        kw = dict(mode=2, max_iter=600, fastrelax=False)
+        res_c = fold_ensemble(npz, seq, jax.random.PRNGKey(4), n_decoys=16,
+                              **kw)
+        monkeypatch.setattr(folder_mod, "COMPACT_MIN_BATCH", 1 << 30)
+        res_u = fold_ensemble(npz, seq, jax.random.PRNGKey(4), n_decoys=16,
+                              **kw)
+        # per-lane trajectories are independent; compaction only changes
+        # batch shapes, so energies agree to float tolerance
+        np.testing.assert_allclose(np.asarray(res_c.energy),
+                                   np.asarray(res_u.energy),
+                                   rtol=2e-3, atol=1.0)
+
+
+class TestLengthBucketing:
+    """pad_to shape bucketing: padded residues are inert and programs are
+    reused across targets of different true lengths (SURVEY §7 step 7)."""
+
+    def test_padded_energy_and_grad_match_unpadded(self):
+        """The padded objective is the SAME function of the real torsions:
+        equal values, equal real-part gradients, exactly zero tail
+        gradients. (Final fold energies are NOT compared — L-BFGS
+        trajectories amplify float noise chaotically, so only the
+        objective itself is the correctness contract.)"""
+        from trx2dy.physics.folder import (
+            pad_npz, random_torsions, _stage_masks_centroid, _weighted_fun,
+            weights_to_vec, SCOREFXN_CENT,
+        )
+        from trx2dy.physics.restraints import (
+            compile_restraints, FoldParams,
+        )
+        L, P, B = 18, 24, 4
+        npz = _rand_npz(L, key=51)
+        seq = "ARNDCQEGHILKMFPSTW"
+        x = np.asarray(random_torsions(jax.random.PRNGKey(6), L, B))
+        x_pad = np.concatenate(
+            [x, np.tile([[[-2.0], [2.5], [np.pi]]], (B, 1, P - L))],
+            axis=-1)
+        params = FoldParams()
+        rst = compile_restraints(npz, params, use_orient=True)
+        m = _stage_masks_centroid(rst, seq, 2, params.PCUT)[0]
+        npz_p = pad_npz(npz, L, P)
+        rst_p = compile_restraints(npz_p, params, use_orient=True)
+        m_p = _stage_masks_centroid(rst_p, seq + "A" * (P - L), 2,
+                                    params.PCUT)[0]
+        w = weights_to_vec(SCOREFXN_CENT)
+        f_u = _weighted_fun(rst, m, w, False, False)
+        f_p = _weighted_fun(rst_p, m_p, w, False, False,
+                            res_mask=jnp.arange(P) < L)
+        eu = np.asarray(f_u(jnp.asarray(x.reshape(B, 3 * L))))
+        ep = np.asarray(f_p(jnp.asarray(x_pad.reshape(B, 3 * P))))
+        np.testing.assert_allclose(ep, eu, rtol=1e-5, atol=1e-3)
+        g_p = np.asarray(jax.grad(lambda xx: f_p(xx).sum())(
+            jnp.asarray(x_pad.reshape(B, 3 * P)))).reshape(B, 3, P)
+        g_u = np.asarray(jax.grad(lambda xx: f_u(xx).sum())(
+            jnp.asarray(x.reshape(B, 3 * L)))).reshape(B, 3, L)
+        assert np.abs(g_p[:, :, L:]).max() == 0.0      # inert tail
+        np.testing.assert_allclose(g_p[:, :, :L], g_u, rtol=1e-4,
+                                   atol=2e-3 * np.abs(g_u).max())
+
+    def test_padded_fold_shapes_and_sanity(self):
+        L = 18
+        npz = _rand_npz(L, key=51)
+        seq = "ARNDCQEGHILKMFPSTW"
+        res = fold_ensemble(npz, seq, jax.random.PRNGKey(6), n_decoys=2,
+                            mode=2, max_iter=60, fastrelax=False, pad_to=24)
+        assert res.torsions.shape == (2, 3, L)
+        ca = np.asarray(res.atoms["CA"])
+        assert ca.shape == (2, L, 3)
+        d = np.linalg.norm(np.diff(ca, axis=1), axis=-1)
+        assert (d < 4.2).all() and (d > 2.7).all()
+
+    def test_bucketed_lengths_reuse_compiled_programs(self):
+        from trx2dy.physics.folder import _stage_run_jit
+        kw = dict(mode=2, max_iter=60, fastrelax=False, n_decoys=2)
+        fold_ensemble(_rand_npz(19, key=52), "ARNDCQEGHILKMFPSTWY",
+                      jax.random.PRNGKey(0), pad_to=24, **kw)
+        n_compiled = _stage_run_jit._cache_size()
+        fold_ensemble(_rand_npz(22, key=53), "ARNDCQEGHILKMFPSTWYVAR",
+                      jax.random.PRNGKey(0), pad_to=24, **kw)
+        assert _stage_run_jit._cache_size() == n_compiled

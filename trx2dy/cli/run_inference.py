@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parallel dampening chains per model (1 = the "
                         "reference's sequential sampler; >1 batches K "
                         "independent chains per device step)")
+    p.add_argument("--len_bucket", type=int, default=None,
+                   help="pad targets to multiples of this length so batch "
+                        "targets share compiled fold programs (default: 32 "
+                        "in batch mode, off in single mode)")
     return p
 
 
@@ -53,11 +57,14 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     from trx2dy.dynamics.driver import DynamicsConfig, run_single
 
+    len_bucket = args.len_bucket
+    if len_bucket is None:
+        len_bucket = 32 if args.name_lst else 0
     cfg = DynamicsConfig(init_num=args.init_num, Nmax=args.Nmax,
                          angle=args.angle,
                          mult_two_models=args.mult_two_models,
                          seed=args.seed, max_iter=args.max_iter,
-                         n_chains=args.n_chains)
+                         n_chains=args.n_chains, len_bucket=len_bucket)
 
     if args.name_lst:
         if not args.fasta_dir or not args.msa_dir:

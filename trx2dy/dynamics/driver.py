@@ -58,6 +58,16 @@ class DynamicsConfig:
     # full-atom PDBs (folding.py:220,273); without relax the pose stays
     # centroid (backbone + CB).
     full_atom: Optional[bool] = None
+    # energy-gated decoy selection (TPU redesign, not in the reference):
+    # oversample folds ceil(N*(1+x)) lanes and keeps the N lowest-energy;
+    # chain_candidates folds that many lanes per dampening chain and keeps
+    # the best. Culls the ~15-20% trapped-topology minimizations whose final
+    # energy sits far above the good band (corr(E, TM) ~ -0.95 measured).
+    oversample: float = 0.25
+    chain_candidates: int = 2
+    # pad targets to multiples of this length so batch-mode targets of
+    # different L reuse one bucket of compiled fold programs (0 = off)
+    len_bucket: int = 0
     fold_kwargs: dict = field(default_factory=dict)
 
     @property
@@ -72,9 +82,13 @@ def _fold_and_write(hist: GeomHistograms, seq: str, key, n_decoys: int,
     Returns the FoldResult (atoms carry the batch axis)."""
     npz = {"dist": hist.dist, "omega": hist.omega, "theta": hist.theta,
            "phi": hist.phi}
+    pad_to = None
+    if cfg.len_bucket:
+        pad_to = -(-len(seq) // cfg.len_bucket) * cfg.len_bucket
     res = fold_ensemble(npz, seq, key, n_decoys=n_decoys, mode=cfg.mode,
                         use_orient=cfg.angle, fastrelax=cfg.fastrelax,
-                        max_iter=cfg.max_iter, **cfg.fold_kwargs)
+                        max_iter=cfg.max_iter, oversample=cfg.oversample,
+                        pad_to=pad_to, **cfg.fold_kwargs)
     if cfg.emit_full_atom:
         from trx2dy.physics.sidechain import pack_and_write
         pack_and_write(out_paths, seq, res.torsions)
@@ -342,7 +356,8 @@ def _generate_ensemble_chains(pdb_name, processed_npz_dir, pred_pdb_dir,
                  "phi": h.phi} for h in chains]
         fr = fold_chains(npzs, seq, k_it, mode=cfg.mode,
                          use_orient=cfg.angle, fastrelax=cfg.fastrelax,
-                         max_iter=cfg.max_iter)
+                         max_iter=cfg.max_iter,
+                         candidates=cfg.chain_candidates)
         atoms_np = {a: np.asarray(v) for a, v in fr.atoms.items()}
         if cfg.emit_full_atom:
             from trx2dy.io.pdbio import write_pdb_atom14

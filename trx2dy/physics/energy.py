@@ -88,9 +88,12 @@ RAMA_KAPPA = 8.0  # von Mises concentration (~basin half-width 25 deg)
 OMEGA_SIGMA = np.deg2rad(10.0)  # backbone-omega planarity width
 
 
-def vdw_energy(atoms: dict) -> jnp.ndarray:
+def vdw_energy(atoms: dict, res_mask=None) -> jnp.ndarray:
     """Soft-sphere repulsion: sum over backbone-atom pairs with |i-j| >= 2 of
-    ((sigma^2 - d^2)/sigma)^2 for d < sigma (Rosetta centroid vdw shape)."""
+    ((sigma^2 - d^2)/sigma)^2 for d < sigma (Rosetta centroid vdw shape).
+
+    res_mask: optional (L,) bool — False residues (length-bucket padding)
+    contribute nothing."""
     L = atoms["CA"].shape[0]
     xyz = jnp.stack([atoms[a] for a in ATOM_ORDER], axis=1)   # (L, 5, 3)
     radii = jnp.asarray(ATOM_RADII)
@@ -105,11 +108,16 @@ def vdw_energy(atoms: dict) -> jnp.ndarray:
     res = jnp.repeat(jnp.arange(L), 5)
     sep_ok = jnp.abs(res[:, None] - res[None, :]) >= 2
     upper = jnp.arange(L * 5)[:, None] < jnp.arange(L * 5)[None, :]
+    pair_ok = sep_ok & upper
+    if res_mask is not None:
+        am = jnp.repeat(res_mask, 5)
+        pair_ok = pair_ok & am[:, None] & am[None, :]
     viol = jnp.maximum(sig * sig - d2, 0.0) / sig
-    return jnp.sum(jnp.where(sep_ok & upper, viol * viol, 0.0))
+    return jnp.sum(jnp.where(pair_ok, viol * viol, 0.0))
 
 
-def rama_energy(phi: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
+def rama_energy(phi: jnp.ndarray, psi: jnp.ndarray,
+                res_mask=None) -> jnp.ndarray:
     """-log of the 6-basin von Mises mixture, summed over interior residues
     (both phi and psi defined: residues 1..L-2)."""
     basins = jnp.asarray(RAMA_BASINS)
@@ -122,21 +130,29 @@ def rama_energy(phi: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
     e = -jax.scipy.special.logsumexp(ll, axis=-1, b=w[None, :])
     L = phi.shape[0]
     interior = (jnp.arange(L) >= 1) & (jnp.arange(L) <= L - 2)
+    if res_mask is not None:
+        # padding is a suffix: interior = real residues with a real successor
+        nxt = jnp.roll(res_mask, -1).at[-1].set(False)
+        interior = interior & res_mask & nxt
     return jnp.sum(jnp.where(interior, e, 0.0))
 
 
-def omega_planarity_energy(omega: jnp.ndarray) -> jnp.ndarray:
+def omega_planarity_energy(omega: jnp.ndarray, res_mask=None) -> jnp.ndarray:
     """Harmonic penalty on trans-peptide deviation, residues 0..L-2.
 
     Uses 1-cos so the potential is smooth and periodic; near 180 deg it
     matches 0.5*(delta/sigma)^2."""
     L = omega.shape[0]
     valid = jnp.arange(L) < L - 1
+    if res_mask is not None:
+        nxt = jnp.roll(res_mask, -1).at[-1].set(False)
+        valid = valid & res_mask & nxt
     dev = 1.0 - jnp.cos(omega - jnp.pi)            # ~ delta^2/2 near pi
     return jnp.sum(jnp.where(valid, dev / (OMEGA_SIGMA ** 2), 0.0))
 
 
-def hbond_energy(atoms: dict, w_sr: float, w_lr: float) -> jnp.ndarray:
+def hbond_energy(atoms: dict, w_sr: float, w_lr: float,
+                 res_mask=None) -> jnp.ndarray:
     """Backbone H-bond substitute: O(i)..N(j) distance well x directionality.
 
     e_ij = -g(d_ON) * a(C(i)-O(i)..N(j)) * a(O(i)..N(j)-CA(j)) for |i-j| >= 2,
@@ -167,9 +183,12 @@ def hbond_energy(atoms: dict, w_sr: float, w_lr: float) -> jnp.ndarray:
     a_don = jnp.maximum(-cos_d, 0.0)   # linear: sqrt would have inf grad at 0
 
     sep = jnp.abs(jnp.arange(L)[:, None] - jnp.arange(L)[None, :])
+    ok = jnp.ones((L, L), bool)
+    if res_mask is not None:
+        ok = res_mask[:, None] & res_mask[None, :]
     e = -g * a_acc * a_don
-    e_sr = jnp.sum(jnp.where((sep >= 2) & (sep < 5), e, 0.0))
-    e_lr = jnp.sum(jnp.where(sep >= 5, e, 0.0))
+    e_sr = jnp.sum(jnp.where(ok & (sep >= 2) & (sep < 5), e, 0.0))
+    e_lr = jnp.sum(jnp.where(ok & (sep >= 5), e, 0.0))
     return w_sr * e_sr + w_lr * e_lr
 
 
@@ -209,7 +228,7 @@ def pairwise_geometry(atoms: dict) -> dict:
 
 def pose_energy(torsions: jnp.ndarray, rst: RestraintSet,
                 masks: RestraintMasks, w: EnergyWeights,
-                dist_on_ca: bool = False) -> jnp.ndarray:
+                dist_on_ca: bool = False, res_mask=None) -> jnp.ndarray:
     """Total energy of one decoy parameterized by backbone torsions.
 
     Args:
@@ -223,15 +242,15 @@ def pose_energy(torsions: jnp.ndarray, rst: RestraintSet,
     atoms = build_backbone(phi, psi, omg)
     e = jnp.asarray(0.0, torsions.dtype)
     if w.vdw:
-        e = e + w.vdw * vdw_energy(atoms)
+        e = e + w.vdw * vdw_energy(atoms, res_mask)
     if w.rama:
-        e = e + w.rama * rama_energy(phi, psi)
+        e = e + w.rama * rama_energy(phi, psi, res_mask)
     if w.omega:
-        e = e + w.omega * omega_planarity_energy(omg)
+        e = e + w.omega * omega_planarity_energy(omg, res_mask)
     if w.cen_hb:
-        e = e + w.cen_hb * hbond_energy(atoms, 1.0, 1.0)
+        e = e + w.cen_hb * hbond_energy(atoms, 1.0, 1.0, res_mask)
     if w.hbond_sr or w.hbond_lr:
-        e = e + hbond_energy(atoms, w.hbond_sr, w.hbond_lr)
+        e = e + hbond_energy(atoms, w.hbond_sr, w.hbond_lr, res_mask)
     if w.atom_pair or w.dihedral or w.angle:
         g = pairwise_geometry(atoms)
         dist = g["dist"]
@@ -258,7 +277,8 @@ def weights_to_vec(w: EnergyWeights) -> jnp.ndarray:
 
 def pose_energy_weighted(torsions: jnp.ndarray, rst: RestraintSet,
                          masks: RestraintMasks, w_vec: jnp.ndarray,
-                         dist_on_ca: bool = False) -> jnp.ndarray:
+                         dist_on_ca: bool = False,
+                         res_mask=None) -> jnp.ndarray:
     """pose_energy with the score-function weights as a TRACED (9,) vector.
 
     Every term is always computed; stages differ only in data. This lets the
@@ -269,13 +289,13 @@ def pose_energy_weighted(torsions: jnp.ndarray, rst: RestraintSet,
     w = dict(zip(WEIGHT_FIELDS, w_vec))
     phi, psi, omg = torsions[0], torsions[1], torsions[2]
     atoms = build_backbone(phi, psi, omg)
-    e = w["vdw"] * vdw_energy(atoms)
-    e = e + w["rama"] * rama_energy(phi, psi)
-    e = e + w["omega"] * omega_planarity_energy(omg)
+    e = w["vdw"] * vdw_energy(atoms, res_mask)
+    e = e + w["rama"] * rama_energy(phi, psi, res_mask)
+    e = e + w["omega"] * omega_planarity_energy(omg, res_mask)
     # hbond components shared between cen_hb (sr+lr at weight 1) and the
     # cart-flavour hbond_sr/hbond_lr terms
     e = e + hbond_energy(atoms, w["cen_hb"] + w["hbond_sr"],
-                         w["cen_hb"] + w["hbond_lr"])
+                         w["cen_hb"] + w["hbond_lr"], res_mask)
     g = pairwise_geometry(atoms)
     dist = g["dist"]
     if dist_on_ca:

@@ -45,7 +45,9 @@ from trx2dy.physics.restraints import (
     compile_restraints_af2, compile_restraints_idp, compile_restraints_gpcr,
     restraint_masks,
 )
-from trx2dy.physics.minimize import lbfgs_minimize, lbfgs_init, lbfgs_run
+from trx2dy.physics.minimize import (
+    lbfgs_minimize, lbfgs_init, lbfgs_run, state_gather,
+)
 
 # FastRelax's score function: ref2015_cart + constraint weights 5/1/1
 # (folding.py:200-204). Torsion-space substitute keeps the centroid terms.
@@ -97,13 +99,30 @@ def random_torsions(key: jax.Array, L: int, n_decoys: int) -> jnp.ndarray:
     return jnp.stack([phi, psi, omg], axis=1)
 
 
-def _batch_energy(w: EnergyWeights, dist_on_ca: bool = False):
+def pad_npz(npz: dict, L: int, pad_to: int) -> dict:
+    """Zero-pad (L, L, ...) histogram maps (and (L,)/(L, L) masks like 'idr')
+    to pad_to. Zero probabilities stay below every pcut, so padded pairs
+    never activate a restraint — padding is pure shape bucketing."""
+    out = {}
+    p = pad_to - L
+    for k, v in npz.items():
+        v = np.asarray(v)
+        if v.ndim >= 2 and v.shape[0] == L and v.shape[1] == L:
+            v = np.pad(v, [(0, p), (0, p)] + [(0, 0)] * (v.ndim - 2))
+        elif v.ndim == 1 and v.shape[0] == L:
+            v = np.pad(v, (0, p))
+        out[k] = v
+    return out
+
+
+def _batch_energy(w: EnergyWeights, dist_on_ca: bool = False, res_mask=None):
     """(B, 3L) flattened torsions -> (B,) energies, for a static weight set."""
     def fn(x, rst, masks):
         B = x.shape[0]
         t = x.reshape(B, 3, -1)
-        return jax.vmap(pose_energy, in_axes=(0, None, None, None, None))(
-            t, rst, masks, w, dist_on_ca)
+        return jax.vmap(pose_energy,
+                        in_axes=(0, None, None, None, None, None))(
+            t, rst, masks, w, dist_on_ca, res_mask)
     return fn
 
 
@@ -152,18 +171,18 @@ def _stage_masks_centroid(rst: RestraintSet, seq: str, mode: int,
 
 def _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
               n_centroid_stages: int, fastrelax: bool, max_iter: int,
-              dist_on_ca: bool = False):
+              dist_on_ca: bool = False, res_mask=None):
     """The full staged protocol as one traced program.
 
     stage_masks is a pytree of stacked (n_stages, ...) masks so the stage
     count is static while mask *contents* stay data (no recompiles across
     dynamics iterations).
     """
-    e_vdw = _batch_energy(SCOREFXN_VDW)
-    e_cent = _batch_energy(SCOREFXN_CENT, dist_on_ca)
-    e_cart = _batch_energy(SCOREFXN_CART, dist_on_ca)
-    e_sf1 = _batch_energy(SCOREFXN1, dist_on_ca)
-    e_relax = _batch_energy(SCOREFXN_RELAX, dist_on_ca)
+    e_vdw = _batch_energy(SCOREFXN_VDW, res_mask=res_mask)
+    e_cent = _batch_energy(SCOREFXN_CENT, dist_on_ca, res_mask)
+    e_cart = _batch_energy(SCOREFXN_CART, dist_on_ca, res_mask)
+    e_sf1 = _batch_energy(SCOREFXN1, dist_on_ca, res_mask)
+    e_relax = _batch_energy(SCOREFXN_RELAX, dist_on_ca, res_mask)
     empty = jax.tree.map(lambda m: jnp.zeros_like(m[0]), stage_masks)
 
     def remove_clash(x, min_fun, masks, iters):
@@ -190,7 +209,7 @@ def _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
             for _ in range(RELAX_REPEATS):
                 for fa, cst, iters in schedule:
                     e = _batch_energy(_ramped_relax_weights(fa, cst),
-                                      dist_on_ca)
+                                      dist_on_ca, res_mask)
                     x = lbfgs_minimize(lambda xx: e(xx, rst, masks), x,
                                        max_iter=iters).x
                 f = e_relax(x, rst, masks)          # accept_to_best
@@ -210,9 +229,10 @@ def _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
                                     "max_iter", "dist_on_ca"))
 def _protocol_jit(x0, rst, stage_masks, relax1_masks, relax2_masks,
                   n_centroid_stages, fastrelax, max_iter,
-                  dist_on_ca=False):
+                  dist_on_ca=False, res_mask=None):
     return _protocol(x0, rst, stage_masks, relax1_masks, relax2_masks,
-                     n_centroid_stages, fastrelax, max_iter, dist_on_ca)
+                     n_centroid_stages, fastrelax, max_iter, dist_on_ca,
+                     res_mask)
 
 
 # chunk of L-BFGS iterations per device call: bounds every XLA execution to
@@ -220,37 +240,54 @@ def _protocol_jit(x0, rst, stage_masks, relax1_masks, relax2_masks,
 # keeping host round trips negligible
 STAGE_CHUNK = 250
 
+# batch compaction: once the active lanes of a stage fit in half the current
+# batch, repack them into the next power-of-2 bucket so drained lanes stop
+# burning compute/HBM (the fix for the measured B=100 batch-drain collapse).
+# Buckets keep the set of compiled program shapes small and cacheable.
+COMPACT_MIN_BATCH = 8
 
-def _vdw_fun(xx):
+
+def _bucket_size(n: int) -> int:
+    b = COMPACT_MIN_BATCH
+    while b < n:
+        b *= 2
+    return b
+
+
+def _vdw_fun(xx, res_mask=None):
     B = xx.shape[0]
     t = xx.reshape(B, 3, -1)
-    return jax.vmap(lambda tt: pose_energy(tt, None, None, SCOREFXN_VDW))(t)
+    return jax.vmap(
+        lambda tt: pose_energy(tt, None, None, SCOREFXN_VDW, False,
+                               res_mask))(t)
 
 
 @jax.jit
-def _vdw_init_jit(x, freeze):
-    return lbfgs_init(_vdw_fun, x, freeze=freeze)
+def _vdw_init_jit(x, freeze, res_mask=None):
+    return lbfgs_init(lambda xx: _vdw_fun(xx, res_mask), x, freeze=freeze)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _vdw_run_jit(state, chunk):
-    return lbfgs_run(_vdw_fun, state, max_iter=chunk)
+def _vdw_run_jit(state, chunk, res_mask=None):
+    return lbfgs_run(lambda xx: _vdw_fun(xx, res_mask), state,
+                     max_iter=chunk)
 
 
 def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat=False,
-                  fused=False):
+                  fused=False, res_mask=None):
     if fused and not multi:
         # fused Pallas spline path: shared tables, batched queries
         def fun(xx):
             return batched_energy_fused(xx, rst, masks, w_vec, dist_on_ca)
     else:
-        in_axes = (0, 0, 0, None, None) if multi else             (0, None, None, None, None)
+        in_axes = (0, 0, 0, None, None, None) if multi else \
+            (0, None, None, None, None, None)
 
         def fun(xx):
             B = xx.shape[0]
             t = xx.reshape(B, 3, -1)
             return jax.vmap(pose_energy_weighted, in_axes=in_axes)(
-                t, rst, masks, w_vec, dist_on_ca)
+                t, rst, masks, w_vec, dist_on_ca, res_mask)
     # rematerialize the energy in the backward pass: ~2x lower peak HBM for
     # ~1.3x compute — lifts the max decoy batch per chip (large-B configs)
     return jax.checkpoint(fun) if remat else fun
@@ -259,8 +296,9 @@ def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat=False,
 @functools.partial(jax.jit,
                    static_argnames=("dist_on_ca", "multi", "remat", "fused"))
 def _stage_init_jit(x, rst, masks, w_vec, freeze, dist_on_ca=False,
-                    multi=False, remat=False, fused=False):
-    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat, fused)
+                    multi=False, remat=False, fused=False, res_mask=None):
+    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat, fused,
+                        res_mask)
     return lbfgs_init(fun, x, freeze=freeze)
 
 
@@ -268,17 +306,19 @@ def _stage_init_jit(x, rst, masks, w_vec, freeze, dist_on_ca=False,
                    static_argnames=("chunk", "dist_on_ca", "multi", "remat",
                                     "fused"))
 def _stage_run_jit(state, rst, masks, w_vec, chunk, dist_on_ca=False,
-                   multi=False, remat=False, fused=False):
+                   multi=False, remat=False, fused=False, res_mask=None):
     """One bounded chunk of the stage L-BFGS. The score function is DATA
     (w_vec), so a single compiled program serves every stage of the
     protocol, every dynamics iteration, and both NMR/X-ray models."""
-    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat, fused)
+    fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat, fused,
+                        res_mask)
     return lbfgs_run(fun, state, max_iter=chunk)
 
 
 def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                      fastrelax: bool, max_iter: int, dist_on_ca: bool,
-                     multi_rst: bool = False, remat: bool = False):
+                     multi_rst: bool = False, remat: bool = False,
+                     res_mask=None):
     """Host-orchestrated protocol over chunked compiled stage programs.
 
     multi_rst: rst/mask leaves carry a leading per-decoy axis (chain mode)."""
@@ -299,20 +339,43 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
 
     def stage(x, masks, w, freeze=no_freeze, iters=None):
         iters = max_iter if iters is None else iters
+        B0 = x.shape[0]
         st = _stage_init_jit(x, rst, masks, w, freeze, dist_on_ca, multi_rst,
-                             remat, fused)
+                             remat, fused, res_mask)
+        rst_c, masks_c = rst, masks
+        x_full = np.array(np.asarray(x))     # final params per original lane
+        lane = np.arange(B0)                 # current lane -> original index
         remaining = iters
         while remaining > 0:
-            st = _stage_run_jit(st, rst, masks, w,
+            st = _stage_run_jit(st, rst_c, masks_c, w,
                                 min(STAGE_CHUNK, remaining), dist_on_ca,
-                                multi_rst, remat, fused)
+                                multi_rst, remat, fused, res_mask)
             remaining -= STAGE_CHUNK
-            if bool(np.asarray(jnp.all(st.done))):
+            done = np.asarray(st.done)
+            if done.all():
                 break
-        return st.x
+            if remaining > 0 and B0 >= 2 * COMPACT_MIN_BATCH:
+                n_act = int((~done).sum())
+                bucket = _bucket_size(n_act)
+                if bucket <= len(done) // 2:
+                    # park finished lanes, repack active into a small bucket
+                    x_full[lane] = np.asarray(st.x)
+                    act = np.where(~done)[0]
+                    pad = np.where(done)[0][:bucket - n_act]
+                    sel = np.concatenate([act, pad])
+                    st = state_gather(st, sel)
+                    lane = lane[sel]
+                    if multi_rst:
+                        def take0(a, sel=sel):
+                            return jnp.asarray(
+                                np.take(np.asarray(a), sel, axis=0))
+                        rst_c = jax.tree.map(take0, rst_c)
+                        masks_c = jax.tree.map(take0, masks_c)
+        x_full[lane] = np.asarray(st.x)
+        return jnp.asarray(x_full)
 
     def vdw_scores(x):
-        return _vdw_init_jit(x, ~no_freeze).f
+        return _vdw_init_jit(x, ~no_freeze, res_mask).f
 
     def remove_clash(x, w_min, masks, iters):
         for _ in range(CLASH_ROUNDS):
@@ -329,9 +392,9 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         active = np.asarray(vdw_scores(x)) >= CLASH_SCORE_CUTOFF
         if not active.any():
             break
-        st = _vdw_init_jit(x, jnp.asarray(~active))
+        st = _vdw_init_jit(x, jnp.asarray(~active), res_mask)
         for _ in range(0, 500, STAGE_CHUNK):
-            st = _vdw_run_jit(st, STAGE_CHUNK)
+            st = _vdw_run_jit(st, STAGE_CHUNK, res_mask)
             if bool(np.asarray(jnp.all(st.done))):
                 break
         x = st.x
@@ -345,7 +408,8 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         def full_f(xx, masks):
             return np.asarray(_stage_init_jit(xx, rst, masks, w_relax,
                                               ~no_freeze, dist_on_ca,
-                                              multi_rst, remat, fused).f)
+                                              multi_rst, remat, fused,
+                                              res_mask).f)
 
         def relax_round(x, masks, schedule):
             best_x, best_f = x, full_f(x, masks)
@@ -361,7 +425,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         x = relax_round(x, relax1_masks, RELAX_SCHEDULE_R1)
         x = relax_round(x, relax2_masks, RELAX_SCHEDULE_R2)
     f = _stage_init_jit(x, rst, stages[-1], w_cent, ~no_freeze, dist_on_ca,
-                        multi_rst, remat, fused).f
+                        multi_rst, remat, fused, res_mask).f
     return x, f
 
 
@@ -372,7 +436,9 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
                   x0: Optional[jnp.ndarray] = None,
                   rst_mode: str = "no-idp", known_npz: Optional[dict] = None,
                   staged_execution: bool = True,
-                  remat: bool = False) -> FoldResult:
+                  remat: bool = False,
+                  oversample: float = 0.0,
+                  pad_to: Optional[int] = None) -> FoldResult:
     """Fold an ensemble of decoys from predicted geometry histograms.
 
     Args:
@@ -384,6 +450,18 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
         init_num=50 decoys per target on one chip, BASELINE.json).
       mode/use_orient/fastrelax/pcut: reference CLI semantics
         (-m / --orient / --fastrelax / -pd, utils_ros/arguments.py:11-30).
+      oversample: fold ceil(n_decoys*(1+oversample)) decoys and return the
+        n_decoys LOWEST-ENERGY ones. A small fraction (~15-20% measured on
+        the bundled example) of random inits minimize into trapped
+        topologies whose final centroid energy sits far above the good band
+        (gap > 25% of |median|, corr(E, TM) ~ -0.95); energy selection over
+        extra vmap lanes culls them for a fraction of the cost the
+        reference would pay spawning extra PyRosetta decoy processes.
+      pad_to: pad the target to this length with inert residues (zero
+        histograms -> no restraints; res_mask zeroes every physics term),
+        so batch-mode targets of different lengths share one bucket of
+        compiled programs instead of recompiling per L (SURVEY §7 step 7).
+        Returned torsions/atoms are sliced back to the true length.
 
     Returns FoldResult with final torsions, centroid energies, and atoms.
     """
@@ -392,6 +470,13 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
         raise ValueError(
             f"sequence length {L} does not match npz geometry maps "
             f"{np.asarray(npz['dist']).shape[:2]}")
+    L_true = L
+    res_mask = None
+    if pad_to is not None and pad_to > L:
+        npz = pad_npz(npz, L, pad_to)
+        seq = seq + "A" * (pad_to - L)
+        res_mask = jnp.arange(pad_to) < L
+        L = pad_to
     pcut = params.PCUT if pcut is None else pcut
     dist_on_ca = rst_mode == "af2"
     if rst_mode == "no-idp":
@@ -418,21 +503,30 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
     relax1 = restraint_masks(rst, seq, 1, L, pcut=0.15, nogly=True)
     relax2 = restraint_masks(rst, seq, 1, L, pcut=0.30, nogly=True)
 
+    n_fold = n_decoys
     if x0 is None:
-        x0 = random_torsions(key, L, n_decoys)
+        if oversample > 0.0:
+            n_fold = int(np.ceil(n_decoys * (1.0 + oversample)))
+        x0 = random_torsions(key, L, n_fold)
     x0 = x0.reshape(x0.shape[0], 3 * L)
 
     if staged_execution:
         x, f = _protocol_staged(x0, rst, stages, relax1, relax2,
                                 fastrelax=fastrelax, max_iter=max_iter,
-                                dist_on_ca=dist_on_ca, remat=remat)
+                                dist_on_ca=dist_on_ca, remat=remat,
+                                res_mask=res_mask)
     else:
         x, f = _protocol_jit(x0, rst, stacked, relax1, relax2,
                              n_centroid_stages=len(stages),
                              fastrelax=fastrelax, max_iter=max_iter,
-                             dist_on_ca=dist_on_ca)
+                             dist_on_ca=dist_on_ca, res_mask=res_mask)
 
-    t = x.reshape(-1, 3, L)
+    if n_fold > n_decoys:
+        keep = np.argsort(np.asarray(f))[:n_decoys]
+        x = jnp.asarray(np.asarray(x)[keep])
+        f = jnp.asarray(np.asarray(f)[keep])
+
+    t = x.reshape(-1, 3, L)[:, :, :L_true]
     atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
     return FoldResult(torsions=t, energy=f, atoms=atoms)
 
@@ -441,16 +535,23 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
                 use_orient: bool = True, fastrelax: bool = True,
                 pcut: Optional[float] = None,
                 params: FoldParams = FoldParams(), max_iter: int = 1000,
-                x0: Optional[jnp.ndarray] = None) -> FoldResult:
+                x0: Optional[jnp.ndarray] = None,
+                candidates: int = 1) -> FoldResult:
     """Fold ONE decoy per chain, each chain with its OWN restraint set.
 
     The TPU-native throughput axis for the Dynamics sampler: K independent
     dampening chains advance together as one batched minimization instead of
     the reference's strictly sequential single chain (run_inference.py:97-139
     folds one decoy per iteration). npz_list is one histogram dict per chain.
+
+    candidates > 1 folds that many lanes per chain and keeps the
+    lowest-energy one — the chain analog of fold_ensemble's oversample
+    (culls trapped-topology decoys that would poison the dampening chain).
     """
     L = len(seq)
     K = len(npz_list)
+    if candidates > 1 and x0 is None:
+        npz_list = [npz for npz in npz_list for _ in range(candidates)]
     pcut = params.PCUT if pcut is None else pcut
     rsts = [compile_restraints(npz, params, use_orient=use_orient)
             for npz in npz_list]
@@ -472,13 +573,20 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
                           *[restraint_masks(r, seq, 1, L, pcut=0.30,
                                             nogly=True) for r in rsts])
 
+    M = len(npz_list)
     if x0 is None:
-        x0 = random_torsions(key, L, K)
-    x0 = x0.reshape(K, 3 * L)
+        x0 = random_torsions(key, L, M)
+    x0 = x0.reshape(M, 3 * L)
 
     x, f = _protocol_staged(x0, rst_b, stages, relax1, relax2,
                             fastrelax=fastrelax, max_iter=max_iter,
                             dist_on_ca=False, multi_rst=True)
+    if M > K:
+        # lanes k*candidates .. k*candidates+c-1 belong to chain k
+        f_np = np.asarray(f).reshape(K, -1)
+        pick = np.arange(K) * (M // K) + np.argmin(f_np, axis=1)
+        x = jnp.asarray(np.asarray(x)[pick])
+        f = jnp.asarray(np.asarray(f)[pick])
     t = x.reshape(K, 3, L)
     atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
     return FoldResult(torsions=t, energy=f, atoms=atoms)

@@ -225,6 +225,33 @@ def lbfgs_run(fun: Callable, st0: LBFGSState, max_iter: int,
     return jax.lax.while_loop(cond, body, st0)
 
 
+def state_gather(st: LBFGSState, idx) -> LBFGSState:
+    """Select a subset of batch lanes from an optimizer state.
+
+    Used by the staged folder's batch COMPACTION: once most decoys of a
+    large batch have converged, the still-active lanes are repacked into a
+    smaller batch so subsequent chunks stop paying compute/HBM for drained
+    lanes (the while-loop otherwise runs at full batch width until the
+    slowest decoy converges). Host-side numpy indexing — the state is tiny
+    (MB) next to a fold chunk, and chunk boundaries are host syncs anyway.
+    """
+    import numpy as np
+
+    idx = np.asarray(idx)
+
+    def take(a, axis):
+        return jnp.asarray(np.take(np.asarray(a), idx, axis=axis))
+
+    return LBFGSState(
+        k=st.k,
+        x=take(st.x, 0), f=take(st.f, 0), g=take(st.g, 0),
+        s_hist=take(st.s_hist, 1), y_hist=take(st.y_hist, 1),
+        rho=take(st.rho, 1), valid=take(st.valid, 1),
+        done=take(st.done, 0), frozen=take(st.frozen, 0),
+        fails=take(st.fails, 0), smalls=take(st.smalls, 0),
+    )
+
+
 def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 1000,
                    tol: float = 1e-4, history: int = 10,
                    freeze: Optional[jnp.ndarray] = None) -> LBFGSResult:
