@@ -266,3 +266,27 @@ class TestFullAtomOutput:
         assert DynamicsConfig(fastrelax=True).emit_full_atom is True
         assert DynamicsConfig(fastrelax=True,
                               full_atom=False).emit_full_atom is False
+
+
+class TestTraces:
+    def test_run_single_writes_traces(self, tmp_path):
+        import json
+        L = 16
+        seq = "ARNDCQEGHILKMFPS"
+        fasta = tmp_path / "t.fasta"
+        fasta.write_text(f">t\n{seq}\n")
+        npz_dir = tmp_path / "npz"
+        npz_dir.mkdir()
+        np.savez_compressed(npz_dir / "t_NMR.npz", **_rand_npz(L, key=61))
+        cfg = DynamicsConfig(init_num=2, Nmax=1, max_iter=10,
+                             fastrelax=False, mult_two_models=False)
+        out = run_single("t", str(fasta), None, str(tmp_path / "out"), cfg,
+                         npz_dir=str(npz_dir))
+        rows = [json.loads(ln) for ln in
+                open(os.path.join(out, "traces.jsonl"))]
+        kinds = {r["kind"] for r in rows}
+        assert kinds == {"initial", "chain"}
+        init_rows = [r for r in rows if r["kind"] == "initial"]
+        assert len(init_rows) == 2
+        assert sum(r["selected_seed"] for r in init_rows) == 1
+        assert all(np.isfinite(r["energy"]) for r in rows)

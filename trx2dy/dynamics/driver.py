@@ -39,6 +39,25 @@ from trx2dy.dynamics.loop import (
 CONVERGE_TOL = 0.01   # max|delta tmp| (run_inference.py:135-137)
 
 
+class TraceWriter:
+    """Per-decoy observability: appends one JSON line per folded decoy
+    (energy, reliability, convergence delta) to save_dir/<name>/traces.jsonl.
+    An additive artifact — the reference only print()s progress
+    (run_inference.py:48,103); file contracts are unchanged."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+
+    def write(self, **row):
+        if self.path is None:
+            return
+        import json
+        with open(self.path, "a") as f:
+            f.write(json.dumps(
+                {k: (float(v) if isinstance(v, (np.floating, np.ndarray))
+                     else v) for k, v in row.items()}) + "\n")
+
+
 @dataclass
 class DynamicsConfig:
     """Driver options (reference argparse defaults, run_inference.py:356-380
@@ -109,7 +128,8 @@ def _measure(res, b: int):
 def generate_ensemble(pdb_name: str, processed_npz_dir: str,
                       pred_pdb_dir: str, initial_npz: str | dict, seq: str,
                       cfg: DynamicsConfig, key: jax.Array,
-                      begin_num: int = 0) -> int:
+                      begin_num: int = 0,
+                      trace: Optional[TraceWriter] = None) -> int:
     """Reference generate_npz_and_pdb (run_inference.py:16-144).
 
     With cfg.n_chains > 1 the iterative sampler runs K independent dampening
@@ -123,7 +143,8 @@ def generate_ensemble(pdb_name: str, processed_npz_dir: str,
     if cfg.n_chains > 1:
         return _generate_ensemble_chains(pdb_name, processed_npz_dir,
                                          pred_pdb_dir, initial_npz, seq,
-                                         cfg, key, begin_num)
+                                         cfg, key, begin_num, trace)
+    trace = trace or TraceWriter(None)
     os.makedirs(processed_npz_dir, exist_ok=True)
     os.makedirs(pred_pdb_dir, exist_ok=True)
     if isinstance(initial_npz, (str, os.PathLike)):
@@ -139,6 +160,12 @@ def generate_ensemble(pdb_name: str, processed_npz_dir: str,
 
     scores = jax.vmap(reliability_score)(res.torsions)
     best = int(jnp.argmax(scores))
+    e_np = np.asarray(res.energy)
+    for i in range(N):
+        trace.write(decoy=f"initial{i}", kind="initial",
+                    energy=float(e_np[i]),
+                    reliability=float(np.asarray(scores)[i]),
+                    selected_seed=(i == best))
 
     # ---- first dampening from the most reliable initial decoy ----------
     fact = _measure(res, best)
@@ -160,12 +187,18 @@ def generate_ensemble(pdb_name: str, processed_npz_dir: str,
         pdb_path = os.path.join(pred_pdb_dir, f"{pdb_name}{iter_n}.pdb")
         res = _fold_and_write(hist, seq, k_it, 1, [pdb_path], cfg)
         if iter_n - begin_num >= cfg.Nmax:
+            trace.write(decoy=f"{pdb_name}{iter_n}", kind="chain",
+                        energy=float(np.asarray(res.energy)[0]),
+                        stopped="Nmax")
             break
         fact = _measure(res, 0)
         new_hist = dampen_step(hist, fact, sigma=cfg.sigma, angle=cfg.angle)
         np.savez_compressed(npz_pattern.format(k=iter_n + 1),
                             **histograms_to_npz(new_hist))
         delta = convergence_delta(old_tmp, new_hist)
+        trace.write(decoy=f"{pdb_name}{iter_n}", kind="chain",
+                    energy=float(np.asarray(res.energy)[0]),
+                    delta=float(delta))
         hist = new_hist
         old_tmp = new_hist
         if delta < CONVERGE_TOL:
@@ -294,20 +327,21 @@ def run_single(name: str, fasta_file: str, msa_file: Optional[str],
         return target
 
     key1, key2 = jax.random.split(key)
+    trace = TraceWriter(os.path.join(save_content, "traces.jsonl"))
     if cfg.mult_two_models:
         n1 = npz_for("NMR")
         n2 = npz_for("Xray")
         num = generate_ensemble(name, os.path.join(npz_tmp_dir, "NMR"),
                                 os.path.join(save_pdb_dir, "NMR"), n1, seq,
-                                cfg, key1)
+                                cfg, key1, trace=trace)
         generate_ensemble(name, os.path.join(npz_tmp_dir, "Xray"),
                           os.path.join(save_pdb_dir, "Xray"), n2, seq,
-                          cfg, key2, begin_num=num)
+                          cfg, key2, begin_num=num, trace=trace)
     else:
         n1 = npz_for("NMR")
         num = generate_ensemble(name, npz_tmp_dir,
                                 os.path.join(save_pdb_dir, "NMR"), n1, seq,
-                                cfg, key1)
+                                cfg, key1, trace=trace)
 
     shutil.rmtree(npz_tmp_dir, ignore_errors=True)
     flatten_directory(save_pdb_dir)
@@ -317,9 +351,12 @@ def run_single(name: str, fasta_file: str, msa_file: Optional[str],
 
 def _generate_ensemble_chains(pdb_name, processed_npz_dir, pred_pdb_dir,
                               initial_npz, seq, cfg: DynamicsConfig,
-                              key: jax.Array, begin_num: int = 0) -> int:
+                              key: jax.Array, begin_num: int = 0,
+                              trace: Optional[TraceWriter] = None) -> int:
     """K-chain batched variant of the iterative sampler."""
     from trx2dy.physics.folder import fold_chains
+
+    trace = trace or TraceWriter(None)
 
     os.makedirs(processed_npz_dir, exist_ok=True)
     os.makedirs(pred_pdb_dir, exist_ok=True)
@@ -335,6 +372,11 @@ def _generate_ensemble_chains(pdb_name, processed_npz_dir, pred_pdb_dir,
     res = _fold_and_write(hist0, seq, k_init, N, init_paths, cfg)
     scores = np.asarray(jax.vmap(reliability_score)(res.torsions))
     seed_order = np.argsort(scores)[::-1][:K]
+    e_np = np.asarray(res.energy)
+    for i in range(N):
+        trace.write(decoy=f"initial{i}", kind="initial",
+                    energy=float(e_np[i]), reliability=float(scores[i]),
+                    selected_seed=bool(i in seed_order))
 
     # chain k seeds from the k-th most reliable initial decoy
     chains = []
@@ -381,7 +423,11 @@ def _generate_ensemble_chains(pdb_name, processed_npz_dir, pred_pdb_dir,
                                    angle=cfg.angle)
             np.savez_compressed(npz_pattern.format(k=produced + 1),
                                 **histograms_to_npz(new_hist))
-            if convergence_delta(old_tmps[k], new_hist) < CONVERGE_TOL:
+            delta = convergence_delta(old_tmps[k], new_hist)
+            trace.write(decoy=f"{pdb_name}{produced}", kind="chain",
+                        chain=k, energy=float(np.asarray(fr.energy)[k]),
+                        delta=float(delta))
+            if delta < CONVERGE_TOL:
                 active[k] = False
             chains[k] = new_hist
             old_tmps[k] = new_hist
