@@ -21,3 +21,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compile cache: the suite compiles dozens of staged-folder
+# programs (minutes each on this 1-core host), and this jaxlib's CPU
+# compiler intermittently SEGFAULTS under heavy in-process compile load
+# (observed repeatedly in full-suite runs, never in small ones). Cached
+# programs load instead of recompiling, which both bounds suite time and
+# sidesteps the crashy path on every run after the first.
+from trx2dy.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/tmp/trx2dy_jax_cache_tests")

@@ -1,0 +1,295 @@
+"""Compacted active-pair restraint evaluation.
+
+The dense path (physics.energy.pose_energy) evaluates every (L, L) pair for
+all four spline terms and masks inactive ones — but the activation masks are
+STAGE CONSTANTS (reference add_rst picks pairs once per stage,
+utils_ros/utils_ros.py:706-743), and only ~18-40% of pairs are active at
+production cutoffs. Since the XLA cost analysis shows the fold step is
+HBM-bound (~7 GB/iteration at 1.26 flops/byte, ~50% of peak bandwidth),
+evaluating splines ONLY at active pairs is a direct ~3-5x traffic cut with
+bit-equal per-pair numerics.
+
+Each stage's masks are compacted host-side into per-term pair lists (i, j)
+with their gathered spline tables, padded to a bucket size so the staged
+folder's jitted programs are shared across stages/targets with similar
+active counts. Geometry (dist/dihedral/angle) is computed per active pair
+from gathered atom coordinates instead of as dense (L, L) maps — which also
+removes the diagonal-degeneracy double-where workaround: the masks never
+contain i == j pairs.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trx2dy.geometry.transforms import dihedral, bond_angle
+from trx2dy.physics.restraints import RestraintSet, RestraintMasks
+from trx2dy.physics.spline import (
+    masked_spline_energy, masked_spline_energy_pb,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+PAIR_BUCKET = 512   # minimum pair-list bucket; buckets grow in HALF-OCTAVE
+#                     steps (512, 768, 1024, 1536, 2048, ...): <= 1.5x padded
+#                     waste while keeping the set of compiled stage-program
+#                     shapes small and disk-cacheable even though the
+#                     dynamics loop's dampened masks change every iteration
+
+
+class CompactTerm(NamedTuple):
+    """Active pairs of one restraint term, padded to a bucket size."""
+    i: jnp.ndarray   # (P,) int32 residue index i
+    j: jnp.ndarray   # (P,) int32 residue index j
+    y: jnp.ndarray   # (P, K) spline values at the shared knots
+    m: jnp.ndarray   # (P, K) spline second derivatives
+    x: jnp.ndarray   # (K,) shared knots
+    act: jnp.ndarray  # (P,) bool; False on bucket padding
+
+
+class CompactRestraints(NamedTuple):
+    dist: CompactTerm
+    omega: CompactTerm
+    theta: CompactTerm
+    phi: CompactTerm
+
+
+def _bucket(n: int) -> int:
+    b = PAIR_BUCKET
+    while b < n:
+        b = b * 3 // 2 if b & (b - 1) == 0 else (b // 3) * 4
+    return b
+
+
+def _compact_term(table, mask) -> CompactTerm:
+    mask_np = np.asarray(mask)
+    L = mask_np.shape[0]
+    ii, jj = np.nonzero(mask_np)
+    P = _bucket(len(ii))
+    pad = P - len(ii)
+    # padding pairs are (0, 1): distinct residues, so every geometric query
+    # is non-degenerate (finite values AND gradients); act=False zeroes both
+    # the energy contribution and the query cotangent (masked_spline_energy).
+    i = np.concatenate([ii, np.zeros(pad, np.int64)]).astype(np.int32)
+    j = np.concatenate([jj, np.full(pad, min(1, L - 1), np.int64)]
+                       ).astype(np.int32)
+    act = np.concatenate([np.ones(len(ii), bool), np.zeros(pad, bool)])
+    flat = jnp.asarray(i.astype(np.int64) * L + j)
+    K = table.y.shape[-1]
+    y = jnp.take(table.y.reshape(L * L, K), flat, axis=0)
+    m = jnp.take(table.m.reshape(L * L, K), flat, axis=0)
+    return CompactTerm(jnp.asarray(i), jnp.asarray(j), y, m, table.x,
+                       jnp.asarray(act))
+
+
+def compact_restraints(rst: RestraintSet,
+                       masks: RestraintMasks) -> CompactRestraints:
+    """Compact one stage's active masks into padded pair lists (host-side
+    nonzero + device gathers; runs once per protocol stage)."""
+    return CompactRestraints(
+        dist=_compact_term(rst.dist, masks.dist),
+        omega=_compact_term(rst.omega, masks.omega),
+        theta=_compact_term(rst.theta, masks.theta),
+        phi=_compact_term(rst.phi, masks.phi),
+    )
+
+
+def compact_restraint_energy(atoms: dict, cr: CompactRestraints,
+                             w_atom_pair, w_dihedral, w_angle,
+                             dist_on_ca: bool = False) -> jnp.ndarray:
+    """Restraint energy of one decoy over compacted pair lists.
+
+    Per-pair numerics identical to the dense restraint_energy (same spline
+    tables, same query formulas — utils.py:97-135 dihedral/angle and
+    utils_ros.py gen_rst geometry definitions); only the iteration space
+    changed from dense (L, L) to the active set.
+    """
+    n, ca, cb = atoms["N"], atoms["CA"], atoms["CB"]
+
+    def g(a, idx):
+        return jnp.take(a, idx, axis=0)
+
+    t = cr.dist
+    base = ca if dist_on_ca else cb
+    dvec = g(base, t.i) - g(base, t.j)
+    q = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1) + 1e-12)
+    e = w_atom_pair * masked_spline_energy(t.y, t.m, t.x, q, t.act)
+
+    t = cr.omega
+    q = dihedral(g(ca, t.i), g(cb, t.i), g(cb, t.j), g(ca, t.j))
+    e = e + w_dihedral * masked_spline_energy(t.y, t.m, t.x, q, t.act)
+
+    t = cr.theta
+    q = dihedral(g(n, t.i), g(ca, t.i), g(cb, t.i), g(cb, t.j))
+    e = e + w_dihedral * masked_spline_energy(t.y, t.m, t.x, q, t.act)
+
+    t = cr.phi
+    q = bond_angle(g(ca, t.i), g(cb, t.i), g(cb, t.j))
+    e = e + w_angle * masked_spline_energy(t.y, t.m, t.x, q, t.act)
+    return e
+
+
+class CompactTermLanes(NamedTuple):
+    """Active pairs of one term for M chain-mode lanes (per-lane tables)."""
+    i: jnp.ndarray    # (M, P) int32
+    j: jnp.ndarray    # (M, P) int32
+    y: jnp.ndarray    # (M, P, K)
+    m: jnp.ndarray    # (M, P, K)
+    x: jnp.ndarray    # (M, K) shared knots, duplicated per lane so every
+    #                   leaf carries the lane axis (state_gather tree-maps
+    #                   lane selections uniformly over axis 0)
+    act: jnp.ndarray  # (M, P) bool
+
+
+class CompactLanes(NamedTuple):
+    dist: CompactTermLanes
+    omega: CompactTermLanes
+    theta: CompactTermLanes
+    phi: CompactTermLanes
+
+
+def compact_restraints_lanes(rsts, masks_list) -> CompactLanes:
+    """Compact per-lane masks for chain mode: lane k (one decoy) has its own
+    restraint set rsts[k] and active masks masks_list[k]. Pair lists pad to
+    ONE bucketed P (the max across lanes) so the lane axis stacks."""
+    terms = {}
+    for name in ("dist", "omega", "theta", "phi"):
+        per_lane = []
+        P = PAIR_BUCKET
+        for rst, masks in zip(rsts, masks_list):
+            ct = _compact_term(getattr(rst, name), getattr(masks, name))
+            per_lane.append(ct)
+            P = max(P, ct.i.shape[0])
+        stacked = []
+        for ct in per_lane:
+            pad = P - ct.i.shape[0]
+            if pad:
+                K = ct.y.shape[-1]
+                ct = CompactTerm(
+                    i=jnp.pad(ct.i, (0, pad)),
+                    j=jnp.pad(ct.j, (0, pad), constant_values=1),
+                    y=jnp.pad(ct.y, ((0, pad), (0, 0))),
+                    m=jnp.pad(ct.m, ((0, pad), (0, 0))),
+                    x=ct.x, act=jnp.pad(ct.act, (0, pad)))
+            stacked.append(ct)
+        terms[name] = CompactTermLanes(
+            i=jnp.stack([c.i for c in stacked]),
+            j=jnp.stack([c.j for c in stacked]),
+            y=jnp.stack([c.y for c in stacked]),
+            m=jnp.stack([c.m for c in stacked]),
+            x=jnp.stack([c.x for c in stacked]),
+            act=jnp.stack([c.act for c in stacked]))
+    return CompactLanes(**terms)
+
+
+def compact_restraint_energy_lanes(atoms_b: dict, cl: CompactLanes,
+                                   w_atom_pair, w_dihedral, w_angle,
+                                   dist_on_ca: bool = False) -> jnp.ndarray:
+    """Chain-mode restraint energy: M lanes, each with its own tables.
+
+    atoms_b: dict of (M, L, 3). Returns (M,). Selection is per-lane one-hot
+    matmuls (vmapped (P, L) @ (L, 9) — scatter-free backward); spline
+    evaluation is elementwise per lane (each query has its own table)."""
+    from trx2dy.physics.spline import masked_spline_energy_lanes
+
+    n_b, ca_b, cb_b = atoms_b["N"], atoms_b["CA"], atoms_b["CB"]
+    A = jnp.concatenate([n_b, ca_b, cb_b], axis=-1)          # (M, L, 9)
+
+    def side_one(idx, a):
+        sel = jax.nn.one_hot(idx, a.shape[0], dtype=a.dtype)  # (P, L)
+        picked = jnp.matmul(sel, a, precision=_HI)            # (P, 9)
+        picked = picked.reshape(idx.shape[0], 3, 3)
+        return picked[:, 0], picked[:, 1], picked[:, 2]
+
+    side = jax.vmap(side_one)                                 # over lanes
+
+    t = cl.dist
+    n_i, ca_i, cb_i = side(t.i, A)
+    n_j, ca_j, cb_j = side(t.j, A)
+    pi = ca_i if dist_on_ca else cb_i
+    pj = ca_j if dist_on_ca else cb_j
+    d = jnp.sqrt(jnp.sum((pi - pj) ** 2, axis=-1) + 1e-12)
+    e = w_atom_pair * masked_spline_energy_lanes(t.y, t.m, t.x[0], d, t.act)
+
+    t = cl.omega
+    _, ca_i, cb_i = side(t.i, A)
+    _, ca_j, cb_j = side(t.j, A)
+    q = dihedral(ca_i, cb_i, cb_j, ca_j)
+    e = e + w_dihedral * masked_spline_energy_lanes(t.y, t.m, t.x[0], q,
+                                                    t.act)
+
+    t = cl.theta
+    n_i, ca_i, cb_i = side(t.i, A)
+    _, _, cb_j = side(t.j, A)
+    q = dihedral(n_i, ca_i, cb_i, cb_j)
+    e = e + w_dihedral * masked_spline_energy_lanes(t.y, t.m, t.x[0], q,
+                                                    t.act)
+
+    t = cl.phi
+    _, ca_i, cb_i = side(t.i, A)
+    _, _, cb_j = side(t.j, A)
+    q = bond_angle(ca_i, cb_i, cb_j)
+    e = e + w_angle * masked_spline_energy_lanes(t.y, t.m, t.x[0], q, t.act)
+    return e
+
+
+def compact_restraint_energy_batch(atoms_b: dict, cr: CompactRestraints,
+                                   w_atom_pair, w_dihedral, w_angle,
+                                   dist_on_ca: bool = False) -> jnp.ndarray:
+    """Restraint energy of a WHOLE decoy batch over compacted pair lists.
+
+    atoms_b: dict of (B, L, 3) coordinate arrays. Returns (B,) energies.
+
+    Atom selection runs as one-hot MATMULS with the decoy batch folded into
+    the matmul's N dimension — (P, L) @ (L, B*9) — so both the forward
+    selection and its VJP are MXU matmuls. The per-decoy jnp.take
+    formulation was measured 3.5x slower at B=50, L=150 (5.7 vs 1.6 ms per
+    value+grad): the take VJP lowers to TPU scatter-adds, which dominate
+    the backward pass. One-hot selection in HIGHEST precision is exact
+    (single nonzero per row, multiplied by 1.0).
+
+    Everything downstream stays PAIR-MAJOR (P, B, ...) so no transposes are
+    needed between the matmul output and the spline evaluation.
+    """
+    n_b, ca_b, cb_b = atoms_b["N"], atoms_b["CA"], atoms_b["CB"]
+    B, L, _ = ca_b.shape
+    # (L, B*9) packed coordinates: per residue row, all decoys' N|CA|CB
+    A = jnp.concatenate([n_b, ca_b, cb_b], axis=-1)       # (B, L, 9)
+    A = jnp.transpose(A, (1, 0, 2)).reshape(L, B * 9)
+
+    def side(idx):
+        sel = jax.nn.one_hot(idx, L, dtype=A.dtype)       # (P, L)
+        picked = jnp.matmul(sel, A, precision=_HI)        # (P, B*9)
+        picked = picked.reshape(idx.shape[0], B, 3, 3)
+        return picked[:, :, 0], picked[:, :, 1], picked[:, :, 2]  # n, ca, cb
+
+    t = cr.dist
+    n_i, ca_i, cb_i = side(t.i)
+    n_j, ca_j, cb_j = side(t.j)
+    pi = ca_i if dist_on_ca else cb_i
+    pj = ca_j if dist_on_ca else cb_j
+    dvec = pi - pj
+    q = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1) + 1e-12)   # (P, B)
+    e = w_atom_pair * masked_spline_energy_pb(t.y, t.m, t.x, q, t.act)
+
+    t = cr.omega
+    _, ca_i, cb_i = side(t.i)
+    _, ca_j, cb_j = side(t.j)
+    q = dihedral(ca_i, cb_i, cb_j, ca_j)
+    e = e + w_dihedral * masked_spline_energy_pb(t.y, t.m, t.x, q, t.act)
+
+    t = cr.theta
+    n_i, ca_i, cb_i = side(t.i)
+    _, _, cb_j = side(t.j)
+    q = dihedral(n_i, ca_i, cb_i, cb_j)
+    e = e + w_dihedral * masked_spline_energy_pb(t.y, t.m, t.x, q, t.act)
+
+    t = cr.phi
+    _, ca_i, cb_i = side(t.i)
+    _, _, cb_j = side(t.j)
+    q = bond_angle(ca_i, cb_i, cb_j)
+    e = e + w_angle * masked_spline_energy_pb(t.y, t.m, t.x, q, t.act)
+    return e

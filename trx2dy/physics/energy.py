@@ -308,6 +308,83 @@ def pose_energy_weighted(torsions: jnp.ndarray, rst: RestraintSet,
     return e
 
 
+def pose_energy_weighted_compact(torsions: jnp.ndarray, cr,
+                                 w_vec: jnp.ndarray,
+                                 dist_on_ca: bool = False,
+                                 res_mask=None) -> jnp.ndarray:
+    """pose_energy_weighted with restraints over compacted active-pair lists
+    (physics.compact) instead of dense masked (L, L) maps — the staged
+    folder's production energy path (~3-5x less HBM traffic; identical
+    per-pair numerics)."""
+    from trx2dy.physics.compact import compact_restraint_energy
+
+    w = dict(zip(WEIGHT_FIELDS, w_vec))
+    phi, psi, omg = torsions[0], torsions[1], torsions[2]
+    atoms = build_backbone(phi, psi, omg)
+    e = w["vdw"] * vdw_energy(atoms, res_mask)
+    e = e + w["rama"] * rama_energy(phi, psi, res_mask)
+    e = e + w["omega"] * omega_planarity_energy(omg, res_mask)
+    e = e + hbond_energy(atoms, w["cen_hb"] + w["hbond_sr"],
+                         w["cen_hb"] + w["hbond_lr"], res_mask)
+    return e + compact_restraint_energy(atoms, cr, w["atom_pair"],
+                                        w["dihedral"], w["angle"],
+                                        dist_on_ca)
+
+
+def batched_energy_weighted_compact(x: jnp.ndarray, cr,
+                                    w_vec: jnp.ndarray,
+                                    dist_on_ca: bool = False,
+                                    res_mask=None) -> jnp.ndarray:
+    """(B, 3L) flattened torsions -> (B,) energies over compacted pairs.
+
+    The staged folder's production path. Base terms vmap per decoy; the
+    restraint terms run as ONE pair-major batched evaluation
+    (compact_restraint_energy_batch) so atom selection is MXU matmuls with
+    the batch in the matmul's N dimension rather than per-decoy gathers."""
+    from trx2dy.physics.compact import compact_restraint_energy_batch
+
+    w = dict(zip(WEIGHT_FIELDS, w_vec))
+    B = x.shape[0]
+    t = x.reshape(B, 3, -1)
+    atoms_b = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
+
+    def base(tt, atoms):
+        e = w["vdw"] * vdw_energy(atoms, res_mask)
+        e = e + w["rama"] * rama_energy(tt[0], tt[1], res_mask)
+        e = e + w["omega"] * omega_planarity_energy(tt[2], res_mask)
+        return e + hbond_energy(atoms, w["cen_hb"] + w["hbond_sr"],
+                                w["cen_hb"] + w["hbond_lr"], res_mask)
+
+    e_base = jax.vmap(base)(t, atoms_b)
+    return e_base + compact_restraint_energy_batch(
+        atoms_b, cr, w["atom_pair"], w["dihedral"], w["angle"], dist_on_ca)
+
+
+def batched_energy_weighted_lanes(x: jnp.ndarray, cl,
+                                  w_vec: jnp.ndarray,
+                                  dist_on_ca: bool = False,
+                                  res_mask=None) -> jnp.ndarray:
+    """(M, 3L) -> (M,) chain-mode energies: lane k has its OWN compacted
+    restraint tables (one dampening chain per lane, folder.fold_chains)."""
+    from trx2dy.physics.compact import compact_restraint_energy_lanes
+
+    w = dict(zip(WEIGHT_FIELDS, w_vec))
+    M = x.shape[0]
+    t = x.reshape(M, 3, -1)
+    atoms_b = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
+
+    def base(tt, atoms):
+        e = w["vdw"] * vdw_energy(atoms, res_mask)
+        e = e + w["rama"] * rama_energy(tt[0], tt[1], res_mask)
+        e = e + w["omega"] * omega_planarity_energy(tt[2], res_mask)
+        return e + hbond_energy(atoms, w["cen_hb"] + w["hbond_sr"],
+                                w["cen_hb"] + w["hbond_lr"], res_mask)
+
+    e_base = jax.vmap(base)(t, atoms_b)
+    return e_base + compact_restraint_energy_lanes(
+        atoms_b, cl, w["atom_pair"], w["dihedral"], w["angle"], dist_on_ca)
+
+
 def pose_base_and_geometry(torsions: jnp.ndarray, w_vec: jnp.ndarray,
                            dist_on_ca: bool = False):
     """Per-decoy non-restraint energy + the four geometry query maps.

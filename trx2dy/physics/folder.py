@@ -38,7 +38,9 @@ import jax.numpy as jnp
 from trx2dy.geometry.nerf import build_backbone
 from trx2dy.physics.energy import (
     EnergyWeights, SCOREFXN_CENT, SCOREFXN1, SCOREFXN_VDW, SCOREFXN_CART,
-    pose_energy, pose_energy_weighted, weights_to_vec, batched_energy_fused,
+    pose_energy, pose_energy_weighted, pose_energy_weighted_compact,
+    batched_energy_weighted_compact, batched_energy_weighted_lanes,
+    weights_to_vec, batched_energy_fused,
 )
 from trx2dy.physics.restraints import (
     FoldParams, RestraintSet, RestraintMasks, compile_restraints,
@@ -275,7 +277,18 @@ def _vdw_run_jit(state, chunk, res_mask=None):
 
 def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat=False,
                   fused=False, res_mask=None):
-    if fused and not multi:
+    from trx2dy.physics.compact import CompactRestraints, CompactLanes
+
+    if isinstance(rst, CompactRestraints):
+        # compacted active-pair path (masks are baked into the pair lists)
+        def fun(xx):
+            return batched_energy_weighted_compact(xx, rst, w_vec,
+                                                   dist_on_ca, res_mask)
+    elif isinstance(rst, CompactLanes):
+        def fun(xx):
+            return batched_energy_weighted_lanes(xx, rst, w_vec,
+                                                 dist_on_ca, res_mask)
+    elif fused and not multi:
         # fused Pallas spline path: shared tables, batched queries
         def fun(xx):
             return batched_energy_fused(xx, rst, masks, w_vec, dist_on_ca)
@@ -337,12 +350,31 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
     # the XLA path stays default. Flip for memory-bound regimes.
     fused = False
 
-    def stage(x, masks, w, freeze=no_freeze, iters=None):
+    # Compact the stage-constant masks into active-pair lists (HBM-bound
+    # regime: only ~18-40% of pairs are active — physics.compact). Chain
+    # mode passes pre-built CompactLanes from fold_chains.
+    from trx2dy.physics.compact import (
+        compact_restraints, CompactRestraints, CompactLanes,
+    )
+
+    def _as_arg(m):
+        if isinstance(m, (CompactRestraints, CompactLanes)):
+            return (m, None)
+        if not multi_rst and not fused:
+            return (compact_restraints(rst, m), None)
+        return (rst, m)
+
+    stage_args = [_as_arg(m) for m in stages]
+    relax1_args = _as_arg(relax1_masks)
+    relax2_args = _as_arg(relax2_masks)
+
+    def stage(x, rst_masks, w, freeze=no_freeze, iters=None):
+        rst_a, masks = rst_masks
         iters = max_iter if iters is None else iters
         B0 = x.shape[0]
-        st = _stage_init_jit(x, rst, masks, w, freeze, dist_on_ca, multi_rst,
-                             remat, fused, res_mask)
-        rst_c, masks_c = rst, masks
+        st = _stage_init_jit(x, rst_a, masks, w, freeze, dist_on_ca,
+                             multi_rst, remat, fused, res_mask)
+        rst_c, masks_c = rst_a, masks
         x_full = np.array(np.asarray(x))     # final params per original lane
         lane = np.arange(B0)                 # current lane -> original index
         remaining = iters
@@ -377,12 +409,12 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
     def vdw_scores(x):
         return _vdw_init_jit(x, ~no_freeze, res_mask).f
 
-    def remove_clash(x, w_min, masks, iters):
+    def remove_clash(x, w_min, rst_masks, iters):
         for _ in range(CLASH_ROUNDS):
             active = np.asarray(vdw_scores(x)) >= CLASH_SCORE_CUTOFF
             if not active.any():
                 break
-            x = stage(x, masks, w_min, freeze=jnp.asarray(~active),
+            x = stage(x, rst_masks, w_min, freeze=jnp.asarray(~active),
                       iters=iters)
         return x
 
@@ -399,33 +431,34 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                 break
         x = st.x
 
-    for masks in stages:
+    for sa in stage_args:
         for _ in range(3):
-            x = stage(x, masks, w_cent)
-        x = stage(x, masks, w_cart)
-        x = remove_clash(x, w_sf1, masks, max_iter)
+            x = stage(x, sa, w_cent)
+        x = stage(x, sa, w_cart)
+        x = remove_clash(x, w_sf1, sa, max_iter)
     if fastrelax:
-        def full_f(xx, masks):
-            return np.asarray(_stage_init_jit(xx, rst, masks, w_relax,
-                                              ~no_freeze, dist_on_ca,
+        def full_f(xx, rst_masks):
+            return np.asarray(_stage_init_jit(xx, rst_masks[0], rst_masks[1],
+                                              w_relax, ~no_freeze, dist_on_ca,
                                               multi_rst, remat, fused,
                                               res_mask).f)
 
-        def relax_round(x, masks, schedule):
-            best_x, best_f = x, full_f(x, masks)
+        def relax_round(x, rst_masks, schedule):
+            best_x, best_f = x, full_f(x, rst_masks)
             for _ in range(RELAX_REPEATS):
                 for fa, cst, iters in schedule:
                     w = weights_to_vec(_ramped_relax_weights(fa, cst))
-                    x = stage(x, masks, w, iters=iters)
-                f = full_f(x, masks)                # accept_to_best
+                    x = stage(x, rst_masks, w, iters=iters)
+                f = full_f(x, rst_masks)            # accept_to_best
                 best_x = jnp.where(jnp.asarray(f < best_f)[:, None], x,
                                    best_x)
                 best_f = np.minimum(f, best_f)
             return np.asarray(best_x)
-        x = relax_round(x, relax1_masks, RELAX_SCHEDULE_R1)
-        x = relax_round(x, relax2_masks, RELAX_SCHEDULE_R2)
-    f = _stage_init_jit(x, rst, stages[-1], w_cent, ~no_freeze, dist_on_ca,
-                        multi_rst, remat, fused, res_mask).f
+        x = relax_round(x, relax1_args, RELAX_SCHEDULE_R1)
+        x = relax_round(x, relax2_args, RELAX_SCHEDULE_R2)
+    f = _stage_init_jit(x, stage_args[-1][0], stage_args[-1][1], w_cent,
+                        ~no_freeze, dist_on_ca, multi_rst, remat, fused,
+                        res_mask).f
     return x, f
 
 
@@ -555,30 +588,29 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
     pcut = params.PCUT if pcut is None else pcut
     rsts = [compile_restraints(npz, params, use_orient=use_orient)
             for npz in npz_list]
-    rst_b = jax.tree.map(lambda *xs: jnp.stack(xs), *rsts)
 
+    from trx2dy.physics.compact import compact_restraints_lanes
     stage_masks = []
     n_stages = None
     for rst in rsts:
         st = _stage_masks_centroid(rst, seq, mode, pcut)
         n_stages = len(st)
         stage_masks.append(st)
-    stages = [jax.tree.map(lambda *xs: jnp.stack(xs),
-                           *[sm[s] for sm in stage_masks])
+    stages = [compact_restraints_lanes(rsts, [sm[s] for sm in stage_masks])
               for s in range(n_stages)]
-    relax1 = jax.tree.map(lambda *xs: jnp.stack(xs),
-                          *[restraint_masks(r, seq, 1, L, pcut=0.15,
-                                            nogly=True) for r in rsts])
-    relax2 = jax.tree.map(lambda *xs: jnp.stack(xs),
-                          *[restraint_masks(r, seq, 1, L, pcut=0.30,
-                                            nogly=True) for r in rsts])
+    relax1 = compact_restraints_lanes(
+        rsts, [restraint_masks(r, seq, 1, L, pcut=0.15, nogly=True)
+               for r in rsts])
+    relax2 = compact_restraints_lanes(
+        rsts, [restraint_masks(r, seq, 1, L, pcut=0.30, nogly=True)
+               for r in rsts])
 
     M = len(npz_list)
     if x0 is None:
         x0 = random_torsions(key, L, M)
     x0 = x0.reshape(M, 3 * L)
 
-    x, f = _protocol_staged(x0, rst_b, stages, relax1, relax2,
+    x, f = _protocol_staged(x0, None, stages, relax1, relax2,
                             fastrelax=fastrelax, max_iter=max_iter,
                             dist_on_ca=False, multi_rst=True)
     if M > K:

@@ -158,6 +158,11 @@ def lbfgs_run(fun: Callable, st0: LBFGSState, max_iter: int,
         gd = jnp.where(bad, -jnp.sum(st.g * st.g, axis=-1), gd)
 
         # --- batched Armijo backtracking -------------------------------
+        # Trials are VALUE-ONLY on purpose: the backward pass costs ~3x the
+        # forward in HBM traffic (measured via XLA cost analysis — dense
+        # geometry cotangents), so evaluating grad per trial and skipping
+        # the post-accept value+grad call was measured SLOWER (22.6 vs
+        # 17.6 ms/iter at B=50, L=150).
         def ls_cond(carry):
             t, accepted, n, _, _ = carry
             return (n < _MAX_BACKTRACK) & ~jnp.all(accepted | st.done)

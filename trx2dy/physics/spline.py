@@ -184,3 +184,101 @@ def _mse_bwd(res, g):
 
 
 masked_spline_energy.defvjp(_mse_fwd, _mse_bwd)
+
+
+def _eval_with_deriv_pb(y, m, x, q):
+    """evaluate_spline_with_deriv for PAIR-MAJOR batched queries.
+
+    y/m: (P, K) per-pair tables; q: (P, B) queries (B decoys per pair).
+    Returns value and dvalue/dq, both (P, B). Kept separate from the dense
+    evaluator so the (P, B, K) one-hot broadcast is explicit."""
+    K = x.shape[0]
+    k = jnp.clip(jnp.sum(x[: K - 1] <= q[..., None], axis=-1) - 1, 0, K - 2)
+    oh_lo = jax.nn.one_hot(k, K, dtype=y.dtype)          # (P, B, K)
+    oh_hi = jax.nn.one_hot(k + 1, K, dtype=y.dtype)
+
+    def sel(t, oh):
+        return jnp.sum(t[:, None, :] * oh, axis=-1)      # (P, B)
+
+    def selx(oh):
+        return jnp.sum(x[None, None, :] * oh, axis=-1)
+
+    xk, xk1 = selx(oh_lo), selx(oh_hi)
+    yk, yk1 = sel(y, oh_lo), sel(y, oh_hi)
+    mk, mk1 = sel(m, oh_lo), sel(m, oh_hi)
+    h = xk1 - xk
+    t = (q - xk) / h
+    u = 1.0 - t
+    h2 = h * h / 6.0
+    inside = (u * yk + t * yk1
+              + (u * u * u - u) * h2 * mk
+              + (t * t * t - t) * h2 * mk1)
+    dinside = ((yk1 - yk) / h
+               + h / 6.0 * (-(3.0 * u * u - 1.0) * mk
+                            + (3.0 * t * t - 1.0) * mk1))
+
+    h0 = x[1] - x[0]
+    hn = x[-1] - x[-2]
+    slope_lo = ((y[:, 1] - y[:, 0]) / h0
+                - h0 * (2.0 * m[:, 0] + m[:, 1]) / 6.0)[:, None]
+    slope_hi = ((y[:, -1] - y[:, -2]) / hn
+                + hn * (m[:, -2] + 2.0 * m[:, -1]) / 6.0)[:, None]
+    below = y[:, 0][:, None] + slope_lo * (q - x[0])
+    above = y[:, -1][:, None] + slope_hi * (q - x[-1])
+    lo = q < x[0]
+    hi = q > x[-1]
+    val = jnp.where(lo, below, jnp.where(hi, above, inside))
+    deriv = jnp.where(lo, slope_lo, jnp.where(hi, slope_hi, dinside))
+    return val, deriv
+
+
+@jax.custom_vjp
+def masked_spline_energy_pb(y, m, x_knots, q, mask):
+    """Per-decoy masked spline energy over pair-major batched queries.
+
+    y/m: (P, K); q: (P, B); mask: (P,) bool. Returns (B,) = sum over active
+    pairs of spline_p(q[p, b]). Differentiable in q only (analytic VJP:
+    one multiply)."""
+    val, _ = _eval_with_deriv_pb(y, m, x_knots, q)
+    return jnp.sum(jnp.where(mask[:, None], val, 0.0), axis=0)
+
+
+def _msepb_fwd(y, m, x_knots, q, mask):
+    val, deriv = _eval_with_deriv_pb(y, m, x_knots, q)
+    e = jnp.sum(jnp.where(mask[:, None], val, 0.0), axis=0)
+    return e, (deriv, mask)
+
+
+def _msepb_bwd(res, g):
+    deriv, mask = res
+    dq = g[None, :] * jnp.where(mask[:, None], deriv, 0.0)
+    return None, None, None, dq, None
+
+
+masked_spline_energy_pb.defvjp(_msepb_fwd, _msepb_bwd)
+
+
+@jax.custom_vjp
+def masked_spline_energy_lanes(y, m, x_knots, q, mask):
+    """Per-lane masked spline energy: each lane (chain-mode decoy) has its
+    OWN tables and active set.
+
+    y/m: (M, P, K); x_knots: (K,); q/mask: (M, P). Returns (M,) sums over
+    each lane's active pairs. Differentiable in q only."""
+    val, _ = evaluate_spline_with_deriv(SplineTable(x_knots, y, m), q)
+    return jnp.sum(jnp.where(mask, val, 0.0), axis=-1)
+
+
+def _msel_fwd(y, m, x_knots, q, mask):
+    val, deriv = evaluate_spline_with_deriv(SplineTable(x_knots, y, m), q)
+    e = jnp.sum(jnp.where(mask, val, 0.0), axis=-1)
+    return e, (deriv, mask)
+
+
+def _msel_bwd(res, g):
+    deriv, mask = res
+    dq = g[..., None] * jnp.where(mask, deriv, 0.0)
+    return None, None, None, dq, None
+
+
+masked_spline_energy_lanes.defvjp(_msel_fwd, _msel_bwd)
