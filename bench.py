@@ -7,11 +7,12 @@ the complete staged protocol (clash removal, 3x centroid L-BFGS, cart-flavour
 refinement, two relax rounds) — the work the reference performs with 50
 sequential PyRosetta subprocesses (folding/folding.py) on 50 CPU cores.
 
-Baseline denominator: the reference has NO published numbers (BASELINE.md);
-PyRosetta is not installed in this image, so the single-CPU denominator uses
-the reference protocol's own instrumentation scale: one decoy = 3x1000-iter
-L-BFGS + FastRelax ~ 2 min on one core at L~150 => 0.5 decoys/min/CPU.
-vs_baseline = (our decoys/min/chip) / 0.5.
+Baseline denominator: the reference has NO published numbers (BASELINE.md)
+and PyRosetta is not installable in this image, so the denominator is the
+MEASURED single-CPU-core rate of the same full staged protocol executed by
+this repo's folder on the XLA CPU backend: 1.20 decoys/min/core at L=150
+(scripts/cpu_denominator.py, conservative — Rosetta does strictly more
+per-iteration work). vs_baseline = (our decoys/min/chip) / 1.2.
 
 The target npz is synthesized deterministically from a basin-sampled
 structure (measured + binned + smoothed geometry of a realizable fold), so
@@ -36,7 +37,7 @@ enable_compilation_cache()
 
 L = 150
 N_DECOYS = 50
-BASELINE_DECOYS_PER_MIN = 0.5   # single-CPU PyRosetta estimate (see above)
+BASELINE_DECOYS_PER_MIN = 1.2   # measured 1-CPU-core rate (see above)
 
 
 def synth_target_npz(L: int, seed: int = 0) -> dict:
