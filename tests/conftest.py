@@ -23,11 +23,21 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent compile cache: the suite compiles dozens of staged-folder
-# programs (minutes each on this 1-core host), and this jaxlib's CPU
-# compiler intermittently SEGFAULTS under heavy in-process compile load
-# (observed repeatedly in full-suite runs, never in small ones). Cached
-# programs load instead of recompiling, which both bounds suite time and
-# sidesteps the crashy path on every run after the first.
+# programs (minutes each on this 1-core host); cached programs load
+# instead of recompiling, bounding suite time after the first run.
 from trx2dy.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache("/tmp/trx2dy_jax_cache_tests")
+
+# This jaxlib's XLA:CPU client accumulates ~thousands of memory mappings
+# per compiled/loaded executable and SEGFAULTS (mmap failure goes
+# unchecked) once the process crosses vm.max_map_count — measured ~31k
+# maps four minutes into the suite vs the 65530 default. Raise the limit
+# when we can (root in this image); harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1048576:
+            _f.seek(0)
+            _f.write("1048576")
+except (OSError, PermissionError):
+    pass

@@ -3,6 +3,8 @@
 Run on the virtual 8-device CPU mesh (conftest sets
 xla_force_host_platform_device_count=8).
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,26 +68,41 @@ class TestTrainStep:
         assert int(state.step) == 6
 
     def test_sharded_step_matches_unsharded(self):
-        mesh = make_mesh(jax.devices()[:8])   # 4 x 2
-        B, R, L = 4, 4, 8
-        opt = make_optimizer(lr=1e-3)
-        # donate_argnums consumes the state: independent params per path
-        fresh = lambda: init_params(jax.random.PRNGKey(3), depth=1)
+        # Persistent-cache WRITES are disabled for this test: serializing
+        # the 8-device SPMD executable is where the memory-map budget
+        # historically ran out mid-suite (segfault in
+        # compilation_cache.put_executable_and_time). conftest raises
+        # vm.max_map_count when it can; skipping this one write keeps the
+        # test safe where it cannot.
+        old = jax.config.jax_persistent_cache_min_compile_time_secs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1e9)
+        try:
+            mesh = make_mesh(jax.devices()[:8])   # 4 x 2
+            B, R, L = 4, 4, 8
+            opt = make_optimizer(lr=1e-3)
+            # donate_argnums consumes the state: independent params per path
+            fresh = lambda: init_params(jax.random.PRNGKey(3), depth=1)
 
-        step_sh = make_train_step(opt, mesh=mesh, depth=1)
-        batch = _tiny_batch(B, R, L, seed=3)
-        with mesh:
-            state_sh, loss_sh = step_sh(init_train_state(fresh(), opt),
+            step_sh = make_train_step(opt, mesh=mesh, depth=1)
+            batch = _tiny_batch(B, R, L, seed=3)
+            with mesh:
+                state_sh, loss_sh = step_sh(init_train_state(fresh(), opt),
+                                            *batch)
+
+            step_1d = make_train_step(opt, mesh=None, depth=1)
+            state_1d, loss_1d = step_1d(init_train_state(fresh(), opt),
                                         *batch)
 
-        step_1d = make_train_step(opt, mesh=None, depth=1)
-        state_1d, loss_1d = step_1d(init_train_state(fresh(), opt), *batch)
-
-        assert abs(float(loss_sh) - float(loss_1d)) < 1e-3
-        # parameters after one step must agree across the two paths
-        k = "net.conv1.weight"
-        np.testing.assert_allclose(np.asarray(state_sh.params[k]),
-                                   np.asarray(state_1d.params[k]), atol=1e-4)
+            assert abs(float(loss_sh) - float(loss_1d)) < 1e-3
+            # parameters after one step must agree across the two paths
+            k = "net.conv1.weight"
+            np.testing.assert_allclose(np.asarray(state_sh.params[k]),
+                                       np.asarray(state_1d.params[k]),
+                                       atol=1e-4)
+        finally:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              old)
 
 
 class TestTrainingDropout:
@@ -182,22 +199,53 @@ class TestGraftEntry:
 
 
 class TestShardedFold:
+    # Runs in a SUBPROCESS: the SPMD fold executable is the largest
+    # mapping consumer in the suite, and this jaxlib's CPU client
+    # segfaults once the process's memory-map count crosses
+    # vm.max_map_count (see conftest, which raises the limit when it
+    # can). A fresh process resets the map count — dryrun_multichip
+    # isolates itself the same way.
+    _SHARDED_FOLD_SCRIPT = r"""
+import os
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, {repo!r})
+from trx2dy.utils.cache import enable_compilation_cache
+enable_compilation_cache("/tmp/trx2dy_jax_cache_tests")
+from trx2dy.parallel.mesh import make_mesh
+from trx2dy.parallel.decoys import fold_ensemble_sharded
+rng = np.random.default_rng(4)
+L = 16
+seq = "ARNDCQEGHILKMFPS"
+def soft(s):
+    x = rng.random(s, dtype=np.float32)
+    return x / x.sum(-1, keepdims=True)
+npz = {{"dist": soft((L, L, 37)), "omega": soft((L, L, 25)),
+        "theta": soft((L, L, 25)), "phi": soft((L, L, 13))}}
+mesh = make_mesh(jax.devices()[:4], mp_size=1)
+res = fold_ensemble_sharded(mesh, npz, seq, jax.random.PRNGKey(0),
+                            n_decoys=8, max_iter=10, fastrelax=False)
+assert res.torsions.shape == (8, 3, L), res.torsions.shape
+assert np.isfinite(np.asarray(res.energy)).all()
+print("SHARDED_FOLD_OK")
+"""
+
     def test_fold_sharded_over_dp(self):
-        from trx2dy.parallel.mesh import make_mesh
-        from trx2dy.parallel.decoys import fold_ensemble_sharded
-        rng = np.random.default_rng(4)
-        L = 16
-        seq = "ARNDCQEGHILKMFPS"
-        def soft(s):
-            x = rng.random(s, dtype=np.float32)
-            return x / x.sum(-1, keepdims=True)
-        npz = {"dist": soft((L, L, 37)), "omega": soft((L, L, 25)),
-               "theta": soft((L, L, 25)), "phi": soft((L, L, 13))}
-        mesh = make_mesh(jax.devices()[:4], mp_size=1)
-        res = fold_ensemble_sharded(mesh, npz, seq, jax.random.PRNGKey(0),
-                                    n_decoys=8, max_iter=10, fastrelax=False)
-        assert res.torsions.shape == (8, 3, L)
-        assert np.isfinite(np.asarray(res.energy)).all()
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("PALLAS_AXON_TPU_GEN", None)
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             self._SHARDED_FOLD_SCRIPT.format(repo=repo)],
+            env=env, capture_output=True, text=True, timeout=1200)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "SHARDED_FOLD_OK" in proc.stdout
 
     def test_indivisible_batch_rejected(self):
         from trx2dy.parallel.mesh import make_mesh

@@ -495,13 +495,13 @@ class TestBatchCompaction:
         np.testing.assert_allclose(np.asarray(sub.f[1]),
                                    np.asarray(st.f[1]))
 
-    # Runs in a SUBPROCESS: this jaxlib's XLA:CPU compiler segfaults
-    # deterministically when compiling this test's fold programs after the
-    # ~60 programs the preceding suite compiled in-process (reproduced 4x at
-    # the same call; the identical body passes in a fresh process every
-    # time). A fresh XLA client avoids the poisoned compiler state; the
-    # shared disk cache (conftest) keeps the subprocess fast after the
-    # first population run.
+    # Runs in a SUBPROCESS. Root cause (diagnosed via /proc/<pid>/maps):
+    # this jaxlib's XLA:CPU client accumulates thousands of memory
+    # mappings per compiled/loaded executable and segfaults once the
+    # process crosses vm.max_map_count. conftest raises the limit when it
+    # can; a fresh process (map count reset) is the defense-in-depth for
+    # environments where it cannot. The shared disk cache keeps the
+    # subprocess fast after the first population run.
     _COMPACTION_SCRIPT = r"""
 import json, sys
 import numpy as np, jax
