@@ -69,6 +69,45 @@ class TestRigid:
 
 
 class TestMSAFilter:
+    def test_near_duplicates_dropped_order_preserved(self):
+        """hhfilter -diff core: at the accepted identity cutoff, near
+        duplicates of already-kept rows are removed; output keeps input
+        order (the reference truncates by FILE order after filtering)."""
+        from trx2dy.io.msa_filter import filter_msa_diff
+        rng = np.random.default_rng(7)
+        L = 40
+        query = rng.integers(0, 20, L)
+        dupes = np.tile(query, (10, 1))          # rows 1..10: copies
+        diverse = rng.integers(0, 20, (5, L))    # rows 11..15
+        msa = np.vstack([query, dupes, diverse])
+        idx = filter_msa_diff(msa, 6)
+        assert idx[0] == 0
+        assert list(idx) == sorted(idx)          # input order
+        assert set(idx) == {0, 11, 12, 13, 14, 15}
+
+    def test_block_coverage_raises_cutoff(self):
+        """The 50-column block criterion: a block covered only by similar
+        sequences forces the identity cutoff UP until that block retains
+        n_keep rows, even when other blocks are already diverse."""
+        from trx2dy.io.msa_filter import hhfilter_diff_indices, GAP
+        rng = np.random.default_rng(8)
+        L = 100                                   # blocks [0:50), [50:100)
+        msa = np.full((16, L), GAP, dtype=np.int64)
+        msa[0, :50] = rng.integers(0, 20, 50)     # query: block 0 only
+        base = rng.integers(0, 20, 50)
+        for r in range(1, 6):                     # rows 1-5: block 1 only,
+            row = base.copy()                     # ~86% mutual identity
+            mut = rng.choice(50, 7, replace=False)
+            row[mut] = (row[mut] + 1 + rng.integers(0, 19, 7)) % 20
+            msa[r, 50:] = row
+        for r in range(6, 16):                    # rows 6-15: block 0,
+            msa[r, :50] = rng.integers(0, 20, 50)  # mutually diverse
+        idx = hhfilter_diff_indices(msa, 3)
+        in_block1 = [i for i in idx if (msa[i, 50:] != GAP).any()]
+        # a global-count filter would stop at the strict cutoff (block 0
+        # alone has >= 3 diverse rows) and keep only ONE block-1 row
+        assert len(in_block1) >= 3, (idx, in_block1)
+
     def test_keeps_query_and_count(self):
         from trx2dy.io.msa_filter import filter_msa_diff
         rng = np.random.default_rng(0)

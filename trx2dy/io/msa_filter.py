@@ -1,44 +1,89 @@
-"""MSA diversity filtering — the hhfilter substitute.
+"""MSA diversity filtering — the hhfilter `-diff` reimplementation.
 
-The reference shells out to HH-suite's hhfilter to reduce deep MSAs to
-<= nrows maximally-diverse sequences (`hhfilter -i .. -o .. -diff N`,
-trRosettaX2/predict.py:141-147). Equivalent here: greedy maximin selection on
-Hamming distance — keep the query, then repeatedly add the sequence with the
-largest minimum distance to the kept set. This preserves the property the
-pipeline needs (a diversity-maximising row subset of the alignment); exact
-hhfilter scoring (which works on suboptimal-alignment posteriors) is not a
-numeric contract of the pipeline.
+The reference shells out to HH-suite's hhfilter to reduce deep MSAs to a
+maximally-diverse subset (`hhfilter -i .. -o .. -diff N`, then
+`parse_a3m(filtered, limit=N)` — trRosettaX2/predict.py:141-147).
 
-Vectorized numpy; O(N_kept * N) distance updates.
+HH-suite's `-diff N` semantics (hhalignment.cc Filter2): sweep the
+max-pairwise-sequence-identity cutoff upward from a strict 20%; at each
+cutoff run the greedy max-identity filter (keep a sequence iff its identity
+to every previously kept sequence is at or below the cutoff, always keeping
+the query and preserving input order); accept the FIRST cutoff that leaves
+at least N sequences in every 50-column alignment block (so sparse regions
+of the alignment keep their coverage). The kept set may exceed N; the
+reference then truncates to the first N rows in file order via the a3m
+parse limit, which `filter_msa_diff` folds in.
+
+Sequence identity matches HH-suite's convention: identical residues over
+columns where both sequences have residues, normalized by the SHORTER
+sequence's residue count.
+
+Pure numpy; one O(N_rows x kept x L) pass per cutoff, kept staying at the
+N-target scale for the accepted cutoff.
 """
 from __future__ import annotations
 
 import numpy as np
 
+GAP = 20                       # a3m token for gap/unknown (io.a3m)
+BLOCK = 50                     # hhfilter block length (columns)
+_CUTOFFS = (0.20, 0.30, 0.40, 0.50, 0.60, 0.70, 0.80, 0.90)
 
-def filter_msa_diff(msa: np.ndarray, n_keep: int) -> np.ndarray:
-    """Select <= n_keep diverse rows of an (N, L) token MSA (query kept).
 
-    Returns the selected ROW INDICES (sorted, query first), so callers can
-    slice tokens or an a3m file consistently.
-    """
-    N = msa.shape[0]
+def _greedy_max_id(msa: np.ndarray, nongap: np.ndarray, lens: np.ndarray,
+                   cutoff: float) -> np.ndarray:
+    """Indices kept by the max-pairwise-identity filter at one cutoff."""
+    N, L = msa.shape
+    kept_rows = np.empty((N, L), msa.dtype)
+    kept_ng = np.empty((N, L), bool)
+    kept_len = np.empty(N, np.int64)
+    kept_idx = np.empty(N, np.int64)
+    kept_rows[0], kept_ng[0], kept_len[0], kept_idx[0] = (
+        msa[0], nongap[0], lens[0], 0)
+    k = 1
+    for i in range(1, N):
+        both = kept_ng[:k] & nongap[i]
+        ident = ((kept_rows[:k] == msa[i]) & both).sum(axis=1)
+        denom = np.maximum(np.minimum(kept_len[:k], lens[i]), 1)
+        if (ident <= cutoff * denom).all():
+            kept_rows[k], kept_ng[k] = msa[i], nongap[i]
+            kept_len[k], kept_idx[k] = lens[i], i
+            k += 1
+    return kept_idx[:k]
+
+
+def hhfilter_diff_indices(msa: np.ndarray, n_keep: int) -> np.ndarray:
+    """hhfilter `-diff n_keep`: the accepted-cutoff kept set (may exceed
+    n_keep, exactly like the binary's output file)."""
+    msa = np.asarray(msa)
+    N, L = msa.shape
     if N <= n_keep:
         return np.arange(N)
-    sel = [0]
-    # min Hamming distance of every row to the selected set
-    mind = (msa != msa[0]).sum(axis=1).astype(np.int64)
-    mind[0] = -1
-    for _ in range(n_keep - 1):
-        nxt = int(np.argmax(mind))
-        if mind[nxt] <= 0:
-            break
-        sel.append(nxt)
-        d = (msa != msa[nxt]).sum(axis=1)
-        mind = np.minimum(mind, d)
-        mind[nxt] = -1
-    sel = sorted(sel)
-    return np.asarray(sel)
+    nongap = msa != GAP
+    lens = nongap.sum(axis=1).astype(np.int64)
+
+    starts = np.arange(0, max(L, 1), BLOCK)
+    # per-row block coverage: does the row have residues in block b?
+    cover = np.stack([nongap[:, s:s + BLOCK].any(axis=1) for s in starts],
+                     axis=1)                                  # (N, n_blocks)
+    total = cover.sum(axis=0)                                 # per block
+    need = np.minimum(total, n_keep)
+
+    for cutoff in _CUTOFFS:
+        cand = _greedy_max_id(msa, nongap, lens, cutoff)
+        if (cover[cand].sum(axis=0) >= need).all():
+            return cand
+    return np.arange(N)
+
+
+def filter_msa_diff(msa: np.ndarray, n_keep: int) -> np.ndarray:
+    """hhfilter `-diff n_keep` + the reference's parse-limit truncation
+    (predict.py:146 `parse_a3m(filtered, limit=nrows)` takes the first
+    nrows rows of the filtered file, i.e. input order).
+
+    Returns row indices (input order, query first), at most n_keep of them.
+    """
+    return hhfilter_diff_indices(msa, n_keep)[:n_keep]
 
 
 def hhfilter_equivalent(msa: np.ndarray, nrows: int,
