@@ -256,8 +256,11 @@ def pose_energy(torsions: jnp.ndarray, rst: RestraintSet,
         dist = g["dist"]
         if dist_on_ca:
             ca = atoms["CA"]
-            dist = jnp.linalg.norm(ca[:, None, :] - ca[None, :, :] + 1e-8,
-                                   axis=-1)
+            # epsilon under the sqrt (not added to the vector) — keeps the
+            # diagonal gradient finite without biasing distances, same
+            # pattern as the weighted path below
+            d2 = jnp.sum((ca[:, None, :] - ca[None, :, :]) ** 2, axis=-1)
+            dist = jnp.sqrt(d2 + 1e-12)
         e = e + restraint_energy(rst, masks, dist, g["omega"], g["theta"],
                                  g["phi"], w.atom_pair, w.dihedral, w.angle)
     return e

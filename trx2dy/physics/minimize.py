@@ -54,6 +54,9 @@ class LBFGSState(NamedTuple):
     frozen: jnp.ndarray   # (B,) caller-frozen decoys
     fails: jnp.ndarray    # (B,) consecutive line-search failures
     smalls: jnp.ndarray   # (B,) consecutive below-tolerance improvements
+    # (W, B) ring of recent f values for NONMONOTONE acceptance (Rosetta
+    # lbfgs_armijo_nonmonotone, folding.py:96); None = monotone Armijo
+    f_hist: Optional[jnp.ndarray] = None
 
 
 def _value_and_grad_batch(fun: Callable) -> Callable:
@@ -118,8 +121,13 @@ def _two_loop(g, s_hist, y_hist, rho, valid):
 
 
 def lbfgs_init(fun: Callable, x0: jnp.ndarray, history: int = 10,
-               freeze: Optional[jnp.ndarray] = None) -> LBFGSState:
-    """Build the initial optimizer state (one energy+gradient evaluation)."""
+               freeze: Optional[jnp.ndarray] = None,
+               nonmonotone: int = 0) -> LBFGSState:
+    """Build the initial optimizer state (one energy+gradient evaluation).
+
+    nonmonotone > 0 enables Grippo-style nonmonotone Armijo acceptance over
+    a window of that many recent f values (Rosetta's
+    lbfgs_armijo_nonmonotone relaxes acceptance the same way)."""
     B, D = x0.shape
     M = history
     f0, g0 = _value_and_grad_batch(fun)(x0)
@@ -135,6 +143,8 @@ def lbfgs_init(fun: Callable, x0: jnp.ndarray, history: int = 10,
         frozen=frozen0,
         fails=jnp.zeros((B,), jnp.int32),
         smalls=jnp.zeros((B,), jnp.int32),
+        f_hist=(jnp.tile(f0, (nonmonotone, 1)) if nonmonotone > 0
+                else None),
     )
 
 
@@ -167,11 +177,15 @@ def lbfgs_run(fun: Callable, st0: LBFGSState, max_iter: int,
             t, accepted, n, _, _ = carry
             return (n < _MAX_BACKTRACK) & ~jnp.all(accepted | st.done)
 
+        # nonmonotone acceptance reference value: max of the recent-f ring
+        # (monotone path: the current f) — Rosetta lbfgs_armijo_nonmonotone
+        f_ref = st.f if st.f_hist is None else jnp.max(st.f_hist, axis=0)
+
         def ls_body(carry):
             t, accepted, n, f_new, x_new = carry
             x_try = st.x + t[:, None] * d
             f_try = fun(x_try)
-            ok = (f_try <= st.f + _C1 * t * gd) & jnp.isfinite(f_try)
+            ok = (f_try <= f_ref + _C1 * t * gd) & jnp.isfinite(f_try)
             newly = ok & ~accepted
             f_new = jnp.where(newly, f_try, f_new)
             x_new = jnp.where(newly[:, None], x_try, x_new)
@@ -223,11 +237,33 @@ def lbfgs_run(fun: Callable, st0: LBFGSState, max_iter: int,
         smalls = jnp.where(moved & small, st.smalls + 1, 0)
         done = st.done | (smalls >= 3) | (fails >= 2)
 
+        f_hist = st.f_hist
+        if f_hist is not None:
+            f_hist = jnp.roll(f_hist, -1, axis=0).at[-1].set(
+                jnp.where(moved, f_next, st.f))
+
         return LBFGSState(st.k + 1, x_next, f_next, g_next,
                           s_hist, y_hist, rho, valid, done, st.frozen,
-                          fails, smalls)
+                          fails, smalls, f_hist)
 
     return jax.lax.while_loop(cond, body, st0)
+
+
+def state_put(st: LBFGSState, put) -> LBFGSState:
+    """Re-commit every batch axis of the state with `put(a, axis)`.
+
+    Used after host-side lane compaction (state_gather) to restore the
+    decoy-batch NamedSharding, so subsequent L-BFGS chunks keep running
+    SPMD over the mesh instead of silently collapsing onto one device."""
+    return LBFGSState(
+        k=st.k,
+        x=put(st.x), f=put(st.f), g=put(st.g),
+        s_hist=put(st.s_hist, 1), y_hist=put(st.y_hist, 1),
+        rho=put(st.rho, 1), valid=put(st.valid, 1),
+        done=put(st.done), frozen=put(st.frozen),
+        fails=put(st.fails), smalls=put(st.smalls),
+        f_hist=None if st.f_hist is None else put(st.f_hist, 1),
+    )
 
 
 def state_gather(st: LBFGSState, idx) -> LBFGSState:
@@ -254,12 +290,14 @@ def state_gather(st: LBFGSState, idx) -> LBFGSState:
         rho=take(st.rho, 1), valid=take(st.valid, 1),
         done=take(st.done, 0), frozen=take(st.frozen, 0),
         fails=take(st.fails, 0), smalls=take(st.smalls, 0),
+        f_hist=None if st.f_hist is None else take(st.f_hist, 1),
     )
 
 
 def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 1000,
                    tol: float = 1e-4, history: int = 10,
-                   freeze: Optional[jnp.ndarray] = None) -> LBFGSResult:
+                   freeze: Optional[jnp.ndarray] = None,
+                   nonmonotone: int = 0) -> LBFGSResult:
     """Minimize a batch of independent objectives with L-BFGS.
 
     Args:
@@ -275,7 +313,8 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 1000,
     shapes static, batch-native. For chunked execution across bounded device
     calls use lbfgs_init + lbfgs_run directly.
     """
-    st = lbfgs_run(fun, lbfgs_init(fun, x0, history=history, freeze=freeze),
+    st = lbfgs_run(fun, lbfgs_init(fun, x0, history=history, freeze=freeze,
+                                   nonmonotone=nonmonotone),
                    max_iter=max_iter, tol=tol)
     return LBFGSResult(x=st.x, f=st.f, n_iter=st.k,
                        converged=st.done & ~st.frozen)

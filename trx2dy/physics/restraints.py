@@ -183,6 +183,62 @@ def restraint_masks(rst: RestraintSet, seq: str, sep1: int, sep2: int,
     )
 
 
+def disulfide_pairs(dist_hist, seq: str, gate: float = 4.75,
+                    min_contact: float = 0.5, min_sep: int = 3) -> np.ndarray:
+    """Candidate disulfide CYS pairs from the predicted distance histogram.
+
+    The reference folds with '-detect_disulf' and re-detects disulfides
+    before FastRelax round 2 (folding/folding.py:48,233), so SS bonds
+    constrain the BACKBONE during relax. Without sidechains at fold time,
+    the closest available signal is the predicted CB-CB distance mode: a
+    disulfide's CB-CB distance is ~3.4-4.5 A, BELOW the spline restraints'
+    attractive range (the tables' attractive knots start at 4.25 A —
+    compile_restraints / utils_ros.py:54-75 — so an ordinary restraint
+    cannot hold a bonded pair). Gate: both residues CYS, |i-j| >= min_sep,
+    mode distance <= gate and total contact probability >= min_contact.
+
+    Returns (P, 2) int array of (i, j) pairs, i < j.
+    """
+    p = np.asarray(dist_hist)
+    L = p.shape[0]
+    is_c = np.frombuffer(seq[:L].encode(), np.uint8) == ord("C")
+    if is_c.sum() < 2:
+        return np.zeros((0, 2), np.int64)
+    # npz layout: bin 0 = no-contact, bins 1..36 = [2, 20) A at 0.5 A
+    mode_d = 2.25 + 0.5 * p[:, :, 1:].argmax(-1)
+    contact = p[:, :, 1:].sum(-1)
+    ii, jj = np.triu_indices(L, k=min_sep)
+    ok = (is_c[ii] & is_c[jj] & (mode_d[ii, jj] <= gate)
+          & (contact[ii, jj] >= min_contact))
+    return np.stack([ii[ok], jj[ok]], axis=-1)
+
+
+def add_disulfide_restraints(rst: RestraintSet, pairs: np.ndarray,
+                             k_spring: float = 10.0,
+                             d0: float = 3.85) -> RestraintSet:
+    """Replace the dist spline of the given pairs with a harmonic SG-proxy
+    well k_spring*(d_CB-CB - d0)^2 and force the pairs active at every
+    probability cutoff (dist_prob = 1), so the well holds through ALL
+    centroid and relax stages — the backbone-level stand-in for Rosetta's
+    disulfide constraint during FastRelax (folding.py:233).
+
+    d0 = 3.85 A is the canonical disulfide CB-CB distance; the quadratic
+    keeps pulling from any range (Rosetta HARMONIC semantics)."""
+    if len(pairs) == 0:
+        return rst
+    from trx2dy.physics.spline import fit_natural_cubic
+
+    x = np.asarray(rst.dist.x)
+    y = np.array(np.asarray(rst.dist.y))
+    well = (k_spring * (x - d0) ** 2).astype(y.dtype)
+    prob = np.array(np.asarray(rst.dist_prob))
+    for i, j in np.asarray(pairs):
+        y[i, j] = y[j, i] = well
+        prob[i, j] = prob[j, i] = 1.0
+    return rst._replace(dist=fit_natural_cubic(x, jnp.asarray(y)),
+                        dist_prob=jnp.asarray(prob))
+
+
 def restraint_energy(rst: RestraintSet, masks: RestraintMasks,
                      dist, omega, theta, phi,
                      w_atom_pair: float, w_dihedral: float, w_angle: float):
