@@ -1,0 +1,113 @@
+"""A/B: does a final cartesian-DOF refinement stage change ensemble quality?
+
+Reference protocol includes cartesian minimization passes
+(folding/folding.py:169,234) that relieve bond/angle strain; the NeRF folder
+is torsion-only. This measures the cartesian stage's effect on (a) the
+bundled L=90 example's decoy TM-scores and (b) an L=300 native-recovery
+target (lengths where strain effects could differ). Results recorded in
+PARITY.md — if the stage does nothing, that closes VERDICT Missing #1 with
+data; if it helps, it becomes part of the protocol.
+
+Usage: python scripts/cart_refine_ab.py [--decoys 16] [--cpu] [--skip-l300]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def measure_arm(tag, atoms_before, atoms_after, native_ca):
+    from trx2dy.analysis.tmscore import tm_score_pair
+    B = atoms_before["CA"].shape[0]
+    tm_b = np.asarray([float(tm_score_pair(
+        np.asarray(atoms_before["CA"])[b], native_ca).tm) for b in range(B)])
+    tm_a = np.asarray([float(tm_score_pair(
+        np.asarray(atoms_after["CA"])[b], native_ca).tm) for b in range(B)])
+    rms_disp = float(np.sqrt(np.mean(
+        (np.asarray(atoms_after["CA"]) - np.asarray(atoms_before["CA"]))
+        ** 2)))
+    print(f"[cart-ab] {tag}: TM before best={tm_b.max():.4f} "
+          f"mean={tm_b.mean():.4f} | after best={tm_a.max():.4f} "
+          f"mean={tm_a.mean():.4f} | dTM mean={np.mean(tm_a - tm_b):+.4f} "
+          f"| CA rms displacement={rms_disp:.3f} A")
+
+
+def run_example(decoys, max_iter, seed):
+    import jax
+    from trx2dy.io.a3m import read_fasta
+    from trx2dy.io.pdbio import read_pdb_backbone
+    from trx2dy.physics.folder import fold_ensemble, SCOREFXN_RELAX
+    from trx2dy.physics.restraints import (
+        compile_restraints, restraint_masks)
+    from trx2dy.physics.cartmin import cartesian_refine
+
+    npz = dict(np.load(
+        "/root/reference/example/output/seq/pred_npz/seq_NMR.npz"))
+    seq = read_fasta("/root/reference/example/seq.fasta")
+    apo, _ = read_pdb_backbone("/root/reference/example/apo.pdb")
+    res = fold_ensemble(npz, seq, jax.random.PRNGKey(seed),
+                        n_decoys=decoys, max_iter=max_iter, fastrelax=True,
+                        oversample=0.25)
+    rst = compile_restraints(npz)
+    masks = restraint_masks(rst, seq, 1, len(seq), pcut=0.30, nogly=True)
+    t0 = time.time()
+    refined, f = cartesian_refine(res.atoms, rst, masks, SCOREFXN_RELAX,
+                                  max_iter=200)
+    print(f"[cart-ab] example refine: {time.time() - t0:.1f}s, "
+          f"final E finite={np.isfinite(np.asarray(f)).all()}")
+    measure_arm(f"example L=90 B={decoys}", res.atoms, refined,
+                np.asarray(apo["CA"]))
+
+
+def run_l300(decoys, max_iter, seed):
+    import jax
+    from trx2dy.physics.folder import fold_ensemble, SCOREFXN_RELAX
+    from trx2dy.physics.restraints import (
+        compile_restraints, restraint_masks)
+    from trx2dy.physics.cartmin import cartesian_refine
+    from scripts.native_recovery import native_histograms, synthetic_native
+
+    L = 300
+    nat = synthetic_native(L, seed=1)
+    npz = native_histograms(nat["N"], nat["CA"], nat["C"], nat["CB"])
+    seq = "A" * L
+    res = fold_ensemble(npz, seq, jax.random.PRNGKey(seed),
+                        n_decoys=decoys, max_iter=max_iter, fastrelax=True,
+                        oversample=0.25)
+    rst = compile_restraints(npz)
+    masks = restraint_masks(rst, seq, 1, L, pcut=0.30, nogly=True)
+    refined, f = cartesian_refine(res.atoms, rst, masks, SCOREFXN_RELAX,
+                                  max_iter=200)
+    measure_arm(f"native-recovery L=300 B={decoys}", res.atoms, refined,
+                np.asarray(nat["CA"]))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--decoys", type=int, default=16)
+    ap.add_argument("--max_iter", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-l300", action="store_true")
+    ap.add_argument("--skip-example", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        os.environ.pop("JAX_PLATFORMS", None)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from trx2dy.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    if not args.skip_example:
+        run_example(args.decoys, args.max_iter, args.seed)
+    if not args.skip_l300:
+        run_l300(max(4, args.decoys // 2), args.max_iter, args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -254,3 +254,122 @@ print("SHARDED_FOLD_OK")
         with pytest.raises(ValueError):
             fold_ensemble_sharded(mesh, {}, "AAAA", jax.random.PRNGKey(0),
                                   n_decoys=3)
+
+    # Every chunk of the staged protocol must KEEP the decoy batch sharded
+    # over dp — the round-1 regression was a silent de-shard at the first
+    # host round-trip (folder.py lane parking / compaction), after which
+    # all remaining stages ran on one device. The spy records the output
+    # sharding of every _stage_run_jit chunk; STAGE_CHUNK is shrunk so the
+    # run crosses many chunk boundaries AND triggers a 16 -> 8 compaction
+    # repack (asserted, so the repack path itself is covered).
+    _SHARD_PRESERVE_SCRIPT = r"""
+import os
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, {repo!r})
+from trx2dy.utils.cache import enable_compilation_cache
+enable_compilation_cache("/tmp/trx2dy_jax_cache_tests")
+import trx2dy.physics.folder as folder
+from trx2dy.parallel.mesh import make_mesh
+from trx2dy.parallel.decoys import fold_ensemble_sharded
+
+folder.STAGE_CHUNK = 5
+recorded = []
+orig_run = folder._stage_run_jit
+def spy_run(st, *a, **k):
+    out = orig_run(st, *a, **k)
+    recorded.append((out.x.shape[0], out.x.sharding))
+    return out
+folder._stage_run_jit = spy_run
+
+rng = np.random.default_rng(4)
+L = 16
+seq = "ARNDCQEGHILKMFPS"
+def soft(s):
+    x = rng.random(s, dtype=np.float32)
+    return x / x.sum(-1, keepdims=True)
+npz = {{"dist": soft((L, L, 37)), "omega": soft((L, L, 25)),
+        "theta": soft((L, L, 25)), "phi": soft((L, L, 13))}}
+mesh = make_mesh(jax.devices()[:4], mp_size=1)
+res = fold_ensemble_sharded(mesh, npz, seq, jax.random.PRNGKey(0),
+                            n_decoys=16, max_iter=40, fastrelax=True)
+assert recorded, "no stage chunks ran"
+bad = [(s, sh) for s, sh in recorded
+       if not (isinstance(sh, jax.sharding.NamedSharding)
+               and sh.spec and sh.spec[0] == "dp"
+               and len(sh.device_set) == 4)]
+assert not bad, f"{{len(bad)}} chunk outputs lost dp sharding: {{bad[:3]}}"
+sizes = {{s for s, _ in recorded}}
+assert len(sizes) > 1, f"compaction repack never triggered: {{sizes}}"
+for name, a in [("torsions", res.torsions), ("energy", res.energy)]:
+    sh = a.sharding
+    assert isinstance(sh, jax.sharding.NamedSharding) and \
+        sh.spec[0] == "dp", f"final {{name}} de-sharded: {{sh}}"
+print("SHARD_PRESERVE_OK", len(recorded), sorted(sizes))
+"""
+
+    def test_chunk_outputs_stay_dp_sharded(self):
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("PALLAS_AXON_TPU_GEN", None)
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             self._SHARD_PRESERVE_SCRIPT.format(repo=repo)],
+            env=env, capture_output=True, text=True, timeout=1200)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "SHARD_PRESERVE_OK" in proc.stdout
+
+
+class TestBatchSharder:
+    def test_sharded_input(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from trx2dy.physics.folder import _batch_sharder, _bucket_size
+        from trx2dy.parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[:4], mp_size=1)
+        x = jax.device_put(jnp.zeros((8, 6)),
+                           NamedSharding(mesh, P("dp", None)))
+        put, dp = _batch_sharder(x)
+        assert dp == 4
+        # batch-axis-0 and batch-axis-1 recommits both span the mesh
+        a = put(np.zeros((8, 3)))
+        b = put(np.zeros((5, 8, 3)), 1)
+        assert a.sharding.spec == P("dp", None)
+        assert b.sharding.spec == P(None, "dp", None)
+        # compaction buckets stay dp-divisible
+        assert _bucket_size(9, dp=4) % 4 == 0
+        assert _bucket_size(3, dp=4) % 4 == 0
+
+    def test_unsharded_input_identity(self):
+        from trx2dy.physics.folder import _batch_sharder
+        put, dp = _batch_sharder(jnp.zeros((8, 6)))
+        assert dp == 1
+        out = put(np.ones((4, 2)))
+        assert isinstance(out, jax.Array)
+
+    def test_state_put_recommits_every_batch_axis(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from trx2dy.physics.folder import _batch_sharder
+        from trx2dy.physics.minimize import (
+            lbfgs_init, state_gather, state_put)
+        from trx2dy.parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[:4], mp_size=1)
+        x = jax.device_put(
+            jnp.arange(16.0).reshape(8, 2),
+            NamedSharding(mesh, P("dp", None)))
+        put, dp = _batch_sharder(x)
+        st = lbfgs_init(lambda xx: jnp.sum(xx ** 2, -1), x)
+        # the compaction repack: host gather then recommit
+        st2 = state_put(state_gather(st, np.arange(4)), put)
+        for name, axis in [("x", 0), ("f", 0), ("g", 0), ("s_hist", 1),
+                           ("y_hist", 1), ("rho", 1), ("valid", 1),
+                           ("done", 0), ("frozen", 0), ("fails", 0),
+                           ("smalls", 0)]:
+            sh = getattr(st2, name).sharding
+            assert isinstance(sh, jax.sharding.NamedSharding), (name, sh)
+            assert sh.spec[axis] == "dp", (name, sh)

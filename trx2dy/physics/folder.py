@@ -45,11 +45,43 @@ from trx2dy.physics.energy import (
 from trx2dy.physics.restraints import (
     FoldParams, RestraintSet, RestraintMasks, compile_restraints,
     compile_restraints_af2, compile_restraints_idp, compile_restraints_gpcr,
-    restraint_masks,
+    restraint_masks, disulfide_pairs, add_disulfide_restraints,
 )
 from trx2dy.physics.minimize import (
-    lbfgs_minimize, lbfgs_init, lbfgs_run, state_gather,
+    lbfgs_minimize, lbfgs_init, lbfgs_run, state_gather, state_put,
 )
+
+
+def _batch_sharder(x):
+    """(put, dp) for the decoy-batch axis of x.
+
+    When x is committed with a NamedSharding whose leading axis is sharded
+    (the multi-chip fold entry, parallel/decoys.py), `put(a, axis=0)`
+    re-commits a's batch axis to the same mesh axis — used at every host
+    round-trip of the staged protocol (lane parking, compaction, relax
+    accept_to_best) so chunk outputs STAY sharded across the mesh instead of
+    collapsing onto the default device after the first stage. dp is the
+    number of shards along the batch axis (compaction buckets must stay
+    divisible by it). Single-device folds get the identity put and dp=1."""
+    sh = getattr(x, "sharding", None)
+    if isinstance(sh, jax.sharding.NamedSharding) and sh.spec \
+            and sh.spec[0] is not None:
+        mesh, names = sh.mesh, sh.spec[0]
+        axis_names = names if isinstance(names, tuple) else (names,)
+        dp = int(np.prod([mesh.shape[n] for n in axis_names]))
+
+        def put(a, axis=0):
+            a = jnp.asarray(a)
+            spec = [None] * a.ndim
+            spec[axis] = names
+            return jax.device_put(
+                a, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(*spec)))
+        return put, dp
+
+    def put(a, axis=0):
+        return jnp.asarray(a)
+    return put, 1
 
 # FastRelax's score function: ref2015_cart + constraint weights 5/1/1
 # (folding.py:200-204). Torsion-space substitute keeps the centroid terms.
@@ -78,6 +110,12 @@ def _ramped_relax_weights(fa_scale: float, cst_scale: float) -> EnergyWeights:
 
 CLASH_SCORE_CUTOFF = 10.0   # remove_clash threshold (utils_ros.py:699-703)
 CLASH_ROUNDS = 5
+
+# Nonmonotone Armijo window for the restrained stages (Rosetta's
+# lbfgs_armijo_nonmonotone, folding.py:96, relaxes acceptance over recent f
+# values). 0 = monotone. A/B measurement (scripts/ab_nonmonotone.py): see
+# PERF.md — kept at the measured winner.
+NONMONOTONE_WINDOW = 0
 
 # Ramachandran basin table + cumulative probabilities (utils_ros.py:674-696)
 _BASIN_PHI = np.deg2rad([-140.0, -72.0, -122.0, -82.0, -61.0, 57.0])
@@ -249,10 +287,12 @@ STAGE_CHUNK = 250
 COMPACT_MIN_BATCH = 8
 
 
-def _bucket_size(n: int) -> int:
+def _bucket_size(n: int, dp: int = 1) -> int:
     b = COMPACT_MIN_BATCH
     while b < n:
         b *= 2
+    if b % dp:                       # keep the batch axis dp-shardable
+        b = -(-b // dp) * dp
     return b
 
 
@@ -307,12 +347,14 @@ def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat=False,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dist_on_ca", "multi", "remat", "fused"))
+                   static_argnames=("dist_on_ca", "multi", "remat", "fused",
+                                    "nm"))
 def _stage_init_jit(x, rst, masks, w_vec, freeze, dist_on_ca=False,
-                    multi=False, remat=False, fused=False, res_mask=None):
+                    multi=False, remat=False, fused=False, res_mask=None,
+                    nm=0):
     fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat, fused,
                         res_mask)
-    return lbfgs_init(fun, x, freeze=freeze)
+    return lbfgs_init(fun, x, freeze=freeze, nonmonotone=nm)
 
 
 @functools.partial(jax.jit,
@@ -336,7 +378,8 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
 
     multi_rst: rst/mask leaves carry a leading per-decoy axis (chain mode)."""
     B = x0.shape[0]
-    no_freeze = jnp.zeros((B,), bool)
+    put, dp = _batch_sharder(x0)
+    no_freeze = put(jnp.zeros((B,), bool))
     w_vdw = weights_to_vec(SCOREFXN_VDW)
     w_cent = weights_to_vec(SCOREFXN_CENT)
     w_cart = weights_to_vec(SCOREFXN_CART)
@@ -373,7 +416,8 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         iters = max_iter if iters is None else iters
         B0 = x.shape[0]
         st = _stage_init_jit(x, rst_a, masks, w, freeze, dist_on_ca,
-                             multi_rst, remat, fused, res_mask)
+                             multi_rst, remat, fused, res_mask,
+                             nm=NONMONOTONE_WINDOW)
         rst_c, masks_c = rst_a, masks
         x_full = np.array(np.asarray(x))     # final params per original lane
         lane = np.arange(B0)                 # current lane -> original index
@@ -388,23 +432,22 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                 break
             if remaining > 0 and B0 >= 2 * COMPACT_MIN_BATCH:
                 n_act = int((~done).sum())
-                bucket = _bucket_size(n_act)
+                bucket = _bucket_size(n_act, dp)
                 if bucket <= len(done) // 2:
                     # park finished lanes, repack active into a small bucket
                     x_full[lane] = np.asarray(st.x)
                     act = np.where(~done)[0]
                     pad = np.where(done)[0][:bucket - n_act]
                     sel = np.concatenate([act, pad])
-                    st = state_gather(st, sel)
+                    st = state_put(state_gather(st, sel), put)
                     lane = lane[sel]
                     if multi_rst:
                         def take0(a, sel=sel):
-                            return jnp.asarray(
-                                np.take(np.asarray(a), sel, axis=0))
+                            return put(np.take(np.asarray(a), sel, axis=0))
                         rst_c = jax.tree.map(take0, rst_c)
                         masks_c = jax.tree.map(take0, masks_c)
         x_full[lane] = np.asarray(st.x)
-        return jnp.asarray(x_full)
+        return put(x_full)
 
     def vdw_scores(x):
         return _vdw_init_jit(x, ~no_freeze, res_mask).f
@@ -414,7 +457,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
             active = np.asarray(vdw_scores(x)) >= CLASH_SCORE_CUTOFF
             if not active.any():
                 break
-            x = stage(x, rst_masks, w_min, freeze=jnp.asarray(~active),
+            x = stage(x, rst_masks, w_min, freeze=put(~active),
                       iters=iters)
         return x
 
@@ -424,7 +467,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         active = np.asarray(vdw_scores(x)) >= CLASH_SCORE_CUTOFF
         if not active.any():
             break
-        st = _vdw_init_jit(x, jnp.asarray(~active), res_mask)
+        st = _vdw_init_jit(x, put(~active), res_mask)
         for _ in range(0, 500, STAGE_CHUNK):
             st = _vdw_run_jit(st, STAGE_CHUNK, res_mask)
             if bool(np.asarray(jnp.all(st.done))):
@@ -450,10 +493,9 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                     w = weights_to_vec(_ramped_relax_weights(fa, cst))
                     x = stage(x, rst_masks, w, iters=iters)
                 f = full_f(x, rst_masks)            # accept_to_best
-                best_x = jnp.where(jnp.asarray(f < best_f)[:, None], x,
-                                   best_x)
+                best_x = jnp.where(put(f < best_f)[:, None], x, best_x)
                 best_f = np.minimum(f, best_f)
-            return np.asarray(best_x)
+            return best_x
         x = relax_round(x, relax1_args, RELAX_SCHEDULE_R1)
         x = relax_round(x, relax2_args, RELAX_SCHEDULE_R2)
     f = _stage_init_jit(x, stage_args[-1][0], stage_args[-1][1], w_cent,
@@ -471,7 +513,8 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
                   staged_execution: bool = True,
                   remat: bool = False,
                   oversample: float = 0.0,
-                  pad_to: Optional[int] = None) -> FoldResult:
+                  pad_to: Optional[int] = None,
+                  detect_disulf: bool = True) -> FoldResult:
     """Fold an ensemble of decoys from predicted geometry histograms.
 
     Args:
@@ -506,6 +549,12 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
     L_true = L
     res_mask = None
     if pad_to is not None and pad_to > L:
+        if known_npz is not None:
+            # known_npz holds REAL-VALUED geometry maps ((N, L, L), not
+            # histograms) — zero padding would bin fake 0-distance contacts
+            raise ValueError(
+                "pad_to (length bucketing) is not supported together with "
+                "known_npz / rst_mode='gpcr'; fold this target unbucketed")
         npz = pad_npz(npz, L, pad_to)
         seq = seq + "A" * (pad_to - L)
         res_mask = jnp.arange(pad_to) < L
@@ -529,6 +578,13 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
                                       use_orient=use_orient)
     else:
         raise ValueError(f"unknown rst_mode {rst_mode!r}")
+
+    if detect_disulf and rst_mode in ("no-idp", "idp"):
+        # '-detect_disulf' stand-in (folding.py:48,233): harmonic CB-CB
+        # wells for predicted-close CYS pairs, active at every pcut
+        ss = disulfide_pairs(npz["dist"], seq)
+        if len(ss):
+            rst = add_disulfide_restraints(rst, ss)
 
     stages = _stage_masks_centroid(rst, seq, mode, pcut,
                                    idr=npz.get("idr"))
@@ -569,7 +625,8 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
                 pcut: Optional[float] = None,
                 params: FoldParams = FoldParams(), max_iter: int = 1000,
                 x0: Optional[jnp.ndarray] = None,
-                candidates: int = 1) -> FoldResult:
+                candidates: int = 1,
+                detect_disulf: bool = True) -> FoldResult:
     """Fold ONE decoy per chain, each chain with its OWN restraint set.
 
     The TPU-native throughput axis for the Dynamics sampler: K independent
@@ -583,29 +640,39 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
     """
     L = len(seq)
     K = len(npz_list)
-    if candidates > 1 and x0 is None:
-        npz_list = [npz for npz in npz_list for _ in range(candidates)]
+    if candidates > 1 and x0 is not None:
+        raise ValueError(
+            "candidates > 1 requires x0=None: candidate lanes are fresh "
+            "random inits per chain; explicit torsions would fold the same "
+            "start candidate times with no best-of selection")
     pcut = params.PCUT if pcut is None else pcut
+    # compile restraints / masks ONCE per unique chain, then replicate per
+    # candidate lane (the tables are identical across a chain's candidates)
     rsts = [compile_restraints(npz, params, use_orient=use_orient)
             for npz in npz_list]
+    if detect_disulf:
+        for idx, npz in enumerate(npz_list):
+            ss = disulfide_pairs(np.asarray(npz["dist"]), seq)
+            if len(ss):
+                rsts[idx] = add_disulfide_restraints(rsts[idx], ss)
+    stage_masks = [_stage_masks_centroid(r, seq, mode, pcut) for r in rsts]
+    n_stages = len(stage_masks[0])
+    r1_masks = [restraint_masks(r, seq, 1, L, pcut=0.15, nogly=True)
+                for r in rsts]
+    r2_masks = [restraint_masks(r, seq, 1, L, pcut=0.30, nogly=True)
+                for r in rsts]
+    if candidates > 1:
+        dup = lambda xs: [x for x in xs for _ in range(candidates)]
+        rsts, stage_masks = dup(rsts), dup(stage_masks)
+        r1_masks, r2_masks = dup(r1_masks), dup(r2_masks)
 
     from trx2dy.physics.compact import compact_restraints_lanes
-    stage_masks = []
-    n_stages = None
-    for rst in rsts:
-        st = _stage_masks_centroid(rst, seq, mode, pcut)
-        n_stages = len(st)
-        stage_masks.append(st)
     stages = [compact_restraints_lanes(rsts, [sm[s] for sm in stage_masks])
               for s in range(n_stages)]
-    relax1 = compact_restraints_lanes(
-        rsts, [restraint_masks(r, seq, 1, L, pcut=0.15, nogly=True)
-               for r in rsts])
-    relax2 = compact_restraints_lanes(
-        rsts, [restraint_masks(r, seq, 1, L, pcut=0.30, nogly=True)
-               for r in rsts])
+    relax1 = compact_restraints_lanes(rsts, r1_masks)
+    relax2 = compact_restraints_lanes(rsts, r2_masks)
 
-    M = len(npz_list)
+    M = len(rsts)
     if x0 is None:
         x0 = random_torsions(key, L, M)
     x0 = x0.reshape(M, 3 * L)
