@@ -201,6 +201,77 @@ class TestChains:
         assert os.path.exists(tmp_path / "npz" / "c1.npz")
 
 
+class TestCombinedModels:
+    def test_two_model_combined_contract(self, tmp_path):
+        """mult_two_models + combine_models: both models' chains fold in
+        one batched program per step, yet the final file layout matches the
+        reference's serial NMR-then-Xray ordering (conf_1 = NMR initials +
+        NMR chain decoys, conf_2 = Xray initials + Xray chain decoys;
+        Xray numbering continues after NMR's final count)."""
+        L = 16
+        seq = "ARNDCQEGHILKMFPS"
+        fasta = tmp_path / "t.fasta"
+        fasta.write_text(f">t\n{seq}\n")
+        npz_dir = tmp_path / "npz"
+        npz_dir.mkdir()
+        np.savez_compressed(npz_dir / "t_NMR.npz", **_rand_npz(L, key=31))
+        np.savez_compressed(npz_dir / "t_Xray.npz", **_rand_npz(L, key=32))
+        cfg = DynamicsConfig(init_num=2, Nmax=2, max_iter=8, fastrelax=False,
+                             n_chains=2, mult_two_models=True,
+                             combine_models=True)
+        out = run_single("t", str(fasta), None, str(tmp_path / "out"), cfg,
+                         npz_dir=str(npz_dir))
+        pdbs = sorted(os.listdir(os.path.join(out, "pred_pdb")))
+        assert all(p.startswith("conf_") for p in pdbs), pdbs
+        # no provisional names may survive
+        assert not any(".tmp_" in p for p in pdbs)
+        n_c1 = sum(p.startswith("conf_1") for p in pdbs)
+        n_c2 = sum(p.startswith("conf_2") for p in pdbs)
+        # 2 initials per model + Nmax chain decoys per model, half each
+        assert n_c1 == n_c2 == 2 + cfg.Nmax
+        assert not os.path.exists(os.path.join(out, "tmp_npz"))
+        # traces carry the model tag for both streams
+        import json
+        rows = [json.loads(ln) for ln in
+                open(os.path.join(out, "traces.jsonl"))]
+        assert {r.get("model") for r in rows} == {"NMR", "Xray"}
+
+    def test_combined_falls_back_on_resume(self, tmp_path):
+        """An in-progress tmp_npz tree routes to the serial samplers whose
+        per-file resume contract is exact (run_inference.py:100-102)."""
+        from trx2dy.dynamics import driver as drv
+        L = 14
+        seq = "ARNDCQEGHILKMF"
+        fasta = tmp_path / "t.fasta"
+        fasta.write_text(f">t\n{seq}\n")
+        npz_dir = tmp_path / "npz"
+        npz_dir.mkdir()
+        np.savez_compressed(npz_dir / "t_NMR.npz", **_rand_npz(L, key=41))
+        np.savez_compressed(npz_dir / "t_Xray.npz", **_rand_npz(L, key=42))
+        # pre-seed a tmp_npz iteration file (simulated interrupted run)
+        tdir = tmp_path / "out" / "t" / "tmp_npz" / "NMR"
+        tdir.mkdir(parents=True)
+        np.savez_compressed(tdir / "t1.npz", **_rand_npz(L, key=43),
+                            tmp=_rand_npz(L, key=43)["dist"])
+        called = []
+        orig = drv._generate_chains_multi
+        drv._generate_chains_multi = lambda *a, **k: (
+            called.append("multi") or orig(*a, **k))
+        try:
+            cfg = DynamicsConfig(init_num=1, Nmax=1, max_iter=5,
+                                 fastrelax=False, n_chains=1,
+                                 mult_two_models=True, combine_models=True)
+            run_single("t", str(fasta), None, str(tmp_path / "out"), cfg,
+                       npz_dir=str(npz_dir))
+        finally:
+            drv._generate_chains_multi = orig
+        # the combined multi-stream path must NOT have been taken: with
+        # n_chains=1 the serial sequential sampler (exact resume) runs
+        assert called == []
+        pdbs = os.listdir(tmp_path / "out" / "t" / "pred_pdb")
+        assert any(p.startswith("conf_") for p in pdbs)
+
+
 class TestResumeAndBatch:
     def test_resume_contract(self, tmp_path):
         """Re-running generate_ensemble continues from saved tmp_npz files
@@ -219,6 +290,31 @@ class TestResumeAndBatch:
                                   jax.random.PRNGKey(1))
         assert last2 >= 1
         assert files_before.issubset(set(os.listdir(npz_dir)))
+
+    def test_resume_routes_past_chains_path(self, tmp_path):
+        """With n_chains > 1 a resume (existing iteration npz files) must
+        still run the SEQUENTIAL sampler — the batched chains path has no
+        notion of partially-produced iterations and would restart."""
+        from trx2dy.dynamics import driver as drv
+        L = 16
+        seq = "ARNDCQEGHILKMFPS"
+        npz = _rand_npz(L, key=22)
+        cfg = DynamicsConfig(init_num=2, Nmax=2, max_iter=8,
+                             fastrelax=False, n_chains=4)
+        npz_dir = tmp_path / "npz"
+        npz_dir.mkdir()
+        np.savez_compressed(npz_dir / "r1.npz", **npz,
+                            tmp=npz["dist"])
+        called = []
+        orig = drv._generate_ensemble_chains
+        drv._generate_ensemble_chains = lambda *a, **k: (
+            called.append("chains") or orig(*a, **k))
+        try:
+            generate_ensemble("r", str(npz_dir), str(tmp_path / "pdb"),
+                              npz, seq, cfg, jax.random.PRNGKey(0))
+        finally:
+            drv._generate_ensemble_chains = orig
+        assert called == []
 
     def test_batch_mode_cli(self, tmp_path):
         """--name_lst batch mode drives run_single per name."""

@@ -40,10 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_iter", type=int, default=1000,
                    help="L-BFGS iteration cap per minimization stage")
-    p.add_argument("--n_chains", type=int, default=1,
-                   help="parallel dampening chains per model (1 = the "
-                        "reference's sequential sampler; >1 batches K "
-                        "independent chains per device step)")
+    p.add_argument("--n_chains", type=int, default=4,
+                   help="parallel dampening chains per model (batched as "
+                        "one device program per step; 1 + "
+                        "--no-combine_models = the reference's sequential "
+                        "sampler)")
+    p.add_argument("--combine_models", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fold the NMR and X-ray models' chains in ONE "
+                        "batched program per step instead of running the "
+                        "two samplers serially")
     p.add_argument("--len_bucket", type=int, default=None,
                    help="pad targets to multiples of this length so batch "
                         "targets share compiled fold programs (default: 32 "
@@ -64,7 +70,9 @@ def main(argv=None) -> None:
                          angle=args.angle,
                          mult_two_models=args.mult_two_models,
                          seed=args.seed, max_iter=args.max_iter,
-                         n_chains=args.n_chains, len_bucket=len_bucket)
+                         n_chains=args.n_chains,
+                         combine_models=args.combine_models,
+                         len_bucket=len_bucket)
 
     if args.name_lst:
         if not args.fasta_dir or not args.msa_dir:

@@ -18,6 +18,7 @@ atoms instead of re-parsing the written PDB.
 """
 from __future__ import annotations
 
+import functools
 import os
 import re
 import shutil
@@ -71,7 +72,21 @@ class DynamicsConfig:
     fastrelax: bool = True
     max_iter: int = 1000
     seed: int = 0
-    n_chains: int = 1
+    # parallel dampening chains per model. The reference's sampler is
+    # strictly sequential (one decoy per iteration, run_inference.py:97-139);
+    # K chains fold together as one batched program per step, producing the
+    # same kind of dampening-driven ensemble ~K times faster in wall-clock.
+    # n_chains=1 with combine_models=False reproduces the reference's exact
+    # sequential behavior (and its per-file resume contract).
+    n_chains: int = 4
+    # Batch the NMR and X-ray samplers into ONE device program per step
+    # (TPU throughput redesign): the reference runs the two models strictly
+    # serially (run_inference.py:298-302 then :334-339), which leaves the
+    # chip at a tiny batch for the whole second half of the pipeline.
+    # Falls back to the serial samplers automatically when a resume is in
+    # progress (existing tmp_npz iteration files), where the sequential
+    # path's exact resume contract applies.
+    combine_models: bool = True
     # full-atom decoy output (sidechain packing). None = follow fastrelax,
     # mirroring the reference: FastRelax switches to fa_standard and dumps
     # full-atom PDBs (folding.py:220,273); without relax the pose stays
@@ -140,10 +155,16 @@ def generate_ensemble(pdb_name: str, processed_npz_dir: str,
 
     Returns the index of the last generated structure.
     """
-    if cfg.n_chains > 1:
+    resuming = os.path.isdir(processed_npz_dir) and any(
+        f.startswith(pdb_name) and f.endswith(".npz")
+        for f in os.listdir(processed_npz_dir))
+    if cfg.n_chains > 1 and not resuming:
         return _generate_ensemble_chains(pdb_name, processed_npz_dir,
                                          pred_pdb_dir, initial_npz, seq,
                                          cfg, key, begin_num, trace)
+    # an in-progress tmp_npz tree routes to the sequential sampler, whose
+    # per-file resume contract is exact (run_inference.py:100-102); the
+    # batched chains path has no notion of partially-produced iterations
     trace = trace or TraceWriter(None)
     os.makedirs(processed_npz_dir, exist_ok=True)
     os.makedirs(pred_pdb_dir, exist_ok=True)
@@ -331,12 +352,35 @@ def run_single(name: str, fasta_file: str, msa_file: Optional[str],
     if cfg.mult_two_models:
         n1 = npz_for("NMR")
         n2 = npz_for("Xray")
-        num = generate_ensemble(name, os.path.join(npz_tmp_dir, "NMR"),
-                                os.path.join(save_pdb_dir, "NMR"), n1, seq,
-                                cfg, key1, trace=trace)
-        generate_ensemble(name, os.path.join(npz_tmp_dir, "Xray"),
-                          os.path.join(save_pdb_dir, "Xray"), n2, seq,
-                          cfg, key2, begin_num=num, trace=trace)
+        # resume in progress? the serial samplers own the exact per-file
+        # resume contract (run_inference.py:100-102) — use them then
+        resuming = any(
+            f.startswith(name) and f.endswith(".npz")
+            for tag in ("NMR", "Xray")
+            if os.path.isdir(os.path.join(npz_tmp_dir, tag))
+            for f in os.listdir(os.path.join(npz_tmp_dir, tag)))
+        if cfg.combine_models and not resuming:
+            # both models' chains batched into ONE program per step
+            streams = [
+                _ModelStream(tag="NMR",
+                             npz_dir=os.path.join(npz_tmp_dir, "NMR"),
+                             pdb_dir=os.path.join(save_pdb_dir, "NMR"),
+                             hist=histograms_from_npz(dict(np.load(n1))),
+                             begin=0),
+                _ModelStream(tag="Xray",
+                             npz_dir=os.path.join(npz_tmp_dir, "Xray"),
+                             pdb_dir=os.path.join(save_pdb_dir, "Xray"),
+                             hist=histograms_from_npz(dict(np.load(n2)))),
+            ]
+            num = _generate_chains_multi(name, streams, seq, cfg, key1,
+                                         trace=trace)[0]
+        else:
+            num = generate_ensemble(name, os.path.join(npz_tmp_dir, "NMR"),
+                                    os.path.join(save_pdb_dir, "NMR"), n1,
+                                    seq, cfg, key1, trace=trace)
+            generate_ensemble(name, os.path.join(npz_tmp_dir, "Xray"),
+                              os.path.join(save_pdb_dir, "Xray"), n2, seq,
+                              cfg, key2, begin_num=num, trace=trace)
     else:
         n1 = npz_for("NMR")
         num = generate_ensemble(name, npz_tmp_dir,
@@ -349,86 +393,261 @@ def run_single(name: str, fasta_file: str, msa_file: Optional[str],
     return save_content
 
 
-def _generate_ensemble_chains(pdb_name, processed_npz_dir, pred_pdb_dir,
-                              initial_npz, seq, cfg: DynamicsConfig,
-                              key: jax.Array, begin_num: int = 0,
-                              trace: Optional[TraceWriter] = None) -> int:
-    """K-chain batched variant of the iterative sampler."""
-    from trx2dy.physics.folder import fold_chains
+class _AsyncIO:
+    """Overlap PDB/npz writes with device work (the fold of the next step).
 
+    The reference's loop serializes IO with compute; here writes are queued
+    on a small thread pool and drained before the driver touches the output
+    tree (flatten/rename). Exceptions re-raise on drain."""
+
+    def __init__(self, workers: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+        self._ex = ThreadPoolExecutor(max_workers=workers)
+        self._futs = []
+
+    def submit(self, fn, *args, **kwargs):
+        self._futs.append(self._ex.submit(fn, *args, **kwargs))
+
+    def drain(self):
+        futs, self._futs = self._futs, []
+        for f in futs:
+            f.result()
+
+    def close(self):
+        self.drain()
+        self._ex.shutdown()
+
+
+def _stack_hists(hists) -> GeomHistograms:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *hists)
+
+
+@functools.partial(jax.jit, static_argnames=("angle",))
+def _chain_update_batch(chains: GeomHistograms, n, ca, c, cb, advance,
+                        sigma: float, angle: bool):
+    """Measure + dampen every chain lane in ONE program.
+
+    chains: stacked (C, ...) histograms; n/ca/c/cb: (C, L, 3) decoy atoms;
+    advance: (C,) bool — lanes that actually advance (inactive chains keep
+    their histograms). Returns (new_chains, delta) with delta = per-lane
+    max|Δtmp| (the convergence statistic, run_inference.py:135-137)."""
+    fact = jax.vmap(measure_decoy)(n, ca, c, cb)
+    new = jax.vmap(lambda cur, f: dampen_step(cur, f, sigma=sigma,
+                                              angle=angle))(chains, fact)
+    delta = jax.vmap(lambda o, w: jnp.max(jnp.abs(o.tmp - w.tmp)))(chains,
+                                                                   new)
+    def sel(a, b):
+        m = advance.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, b, a)
+    return jax.tree.map(sel, chains, new), delta
+
+
+@dataclass
+class _ModelStream:
+    """One restraint model's sampler state inside the combined loop."""
+    tag: str                     # "NMR" / "Xray" / "" (single-model)
+    npz_dir: str                 # its tmp_npz subdirectory
+    pdb_dir: str                 # its pred_pdb subdirectory
+    hist: GeomHistograms         # initial (predicted) histograms
+    begin: Optional[int] = None  # known begin_num; None = after prev stream
+
+
+def _generate_chains_multi(pdb_name: str, streams, seq: str,
+                           cfg: DynamicsConfig, key: jax.Array,
+                           trace: Optional[TraceWriter] = None) -> list:
+    """K-chain batched sampler over one or more restraint models AT ONCE.
+
+    The TPU redesign of the reference's sequential pipeline: instead of one
+    decoy per device program per model (run_inference.py:97-139) run
+    len(streams) * n_chains independent dampening chains as ONE batched
+    fold per step (each lane with its own restraint tables), and overlap
+    all file IO with the next step's device work.
+
+    File contracts per stream match the serial sampler (initial{i}.pdb,
+    <name>{k}.pdb, tmp_npz <name>{k}.npz with k continuing across
+    streams). Streams whose begin index depends on an unfinished earlier
+    stream write under provisional names and are renamed once the earlier
+    stream's final count is known — byte-identical final layout to the
+    reference's serial NMR-then-Xray ordering (run_inference.py:334-339).
+
+    Returns the list of final produced indices per stream (begin + count).
+    """
     trace = trace or TraceWriter(None)
-
-    os.makedirs(processed_npz_dir, exist_ok=True)
-    os.makedirs(pred_pdb_dir, exist_ok=True)
-    if isinstance(initial_npz, (str, os.PathLike)):
-        initial_npz = dict(np.load(initial_npz))
-    hist0 = histograms_from_npz(initial_npz)
+    M = len(streams)
     K = cfg.n_chains
-
     N = cfg.init_num
-    init_paths = [os.path.join(pred_pdb_dir, f"initial{i}.pdb")
-                  for i in range(N)]
+    C = M * K
+    for s in streams:
+        os.makedirs(s.npz_dir, exist_ok=True)
+        os.makedirs(s.pdb_dir, exist_ok=True)
+    io = _AsyncIO()
+
+    def hist_npz(h: GeomHistograms) -> dict:
+        return {"dist": h.dist, "omega": h.omega, "theta": h.theta,
+                "phi": h.phi}
+
+    from trx2dy.physics.folder import fold_chains
+    if cfg.emit_full_atom:
+        from trx2dy.io.pdbio import write_pdb_atom14
+        from trx2dy.physics.sidechain import pack_ensemble
+
+    def write_decoys(fr, lanes, paths):
+        """Write the decoys of the given lanes; sidechain packing (when
+        full-atom output is on) runs ONLY over the written lanes."""
+        if cfg.emit_full_atom:
+            t_sel = jnp.asarray(np.asarray(fr.torsions)[lanes])
+            xyz14, mask14, _ = pack_ensemble(t_sel, seq)
+            xyz14 = np.asarray(xyz14)
+            mask14 = np.asarray(mask14)
+            for j, path in enumerate(paths):
+                io.submit(write_pdb_atom14, path, seq, xyz14[j], mask14)
+        else:
+            atoms_np = {a: np.asarray(v) for a, v in fr.atoms.items()}
+            for j, (lane, path) in enumerate(zip(lanes, paths)):
+                io.submit(write_pdb_backbone, path, seq,
+                          {a: v[lane] for a, v in atoms_np.items()})
+
+    # ---- initial ensembles: ALL streams' initial decoys in one program --
     key, k_init = jax.random.split(key)
-    res = _fold_and_write(hist0, seq, k_init, N, init_paths, cfg)
-    scores = np.asarray(jax.vmap(reliability_score)(res.torsions))
-    seed_order = np.argsort(scores)[::-1][:K]
-    e_np = np.asarray(res.energy)
-    for i in range(N):
-        trace.write(decoy=f"initial{i}", kind="initial",
-                    energy=float(e_np[i]), reliability=float(scores[i]),
-                    selected_seed=bool(i in seed_order))
+    init_npzs = [hist_npz(s.hist) for s in streams for _ in range(N)]
+    fr = fold_chains(init_npzs, seq, k_init, mode=cfg.mode,
+                     use_orient=cfg.angle, fastrelax=cfg.fastrelax,
+                     max_iter=cfg.max_iter, candidates=cfg.chain_candidates)
+    init_lanes = list(range(M * N))
+    init_paths = [os.path.join(streams[i].pdb_dir, f"initial{j}.pdb")
+                  for i in range(M) for j in range(N)]
+    write_decoys(fr, init_lanes, init_paths)
+    scores = np.asarray(jax.vmap(reliability_score)(fr.torsions))
+    e_np = np.asarray(fr.energy)
 
-    # chain k seeds from the k-th most reliable initial decoy
-    chains = []
-    for k in range(K):
-        fact = _measure(res, int(seed_order[k % len(seed_order)]))
-        chains.append(dampen_step(hist0, fact, sigma=cfg.sigma,
-                                  angle=cfg.angle))
-    old_tmps = list(chains)
-    active = np.ones(K, bool)
+    # chain (i, k) seeds from stream i's k-th most reliable initial decoy
+    seed_lanes = []
+    for i, s in enumerate(streams):
+        order = np.argsort(scores[i * N:(i + 1) * N])[::-1][:K]
+        for j in range(N):
+            trace.write(decoy=f"initial{j}", kind="initial", model=s.tag,
+                        energy=float(e_np[i * N + j]),
+                        reliability=float(scores[i * N + j]),
+                        selected_seed=bool(j in order))
+        seed_lanes += [i * N + int(order[k % len(order)]) for k in range(K)]
+    seed_lanes = np.asarray(seed_lanes)
 
-    produced = begin_num
-    npz_pattern = os.path.join(processed_npz_dir, pdb_name + "{k}.npz")
-    np.savez_compressed(npz_pattern.format(k=begin_num + 1),
-                        **histograms_to_npz(chains[0]))
+    base = _stack_hists([s.hist for s in streams for _ in range(K)])
+    a = fr.atoms
+    chains, _ = _chain_update_batch(
+        base, jnp.asarray(np.asarray(a["N"])[seed_lanes]),
+        jnp.asarray(np.asarray(a["CA"])[seed_lanes]),
+        jnp.asarray(np.asarray(a["C"])[seed_lanes]),
+        jnp.asarray(np.asarray(a["CB"])[seed_lanes]),
+        jnp.ones((C,), bool), cfg.sigma, cfg.angle)
 
-    while active.any() and produced - begin_num < cfg.Nmax:
+    # begin indices: stream 0 is known now; later streams resolve when the
+    # previous stream's final count is known (reference begin_num chaining)
+    begins: list = [s.begin for s in streams]
+    if begins[0] is None:
+        begins[0] = 0
+    produced = [0] * M
+    active = np.ones((M, K), bool)
+    renames: list = []           # (provisional_path, stream, k_index)
+
+    def npz_name(i: int, k: int) -> str:
+        if begins[i] is not None:
+            return os.path.join(streams[i].npz_dir,
+                                f"{pdb_name}{begins[i] + k}.npz")
+        path = os.path.join(streams[i].npz_dir, f".tmp_s{i}_{k}.npz")
+        renames.append((path, i, k, ".npz"))
+        return path
+
+    def pdb_name_for(i: int, k: int) -> str:
+        if begins[i] is not None:
+            return os.path.join(streams[i].pdb_dir,
+                                f"{pdb_name}{begins[i] + k}.pdb")
+        path = os.path.join(streams[i].pdb_dir, f".tmp_s{i}_{k}.pdb")
+        renames.append((path, i, k, ".pdb"))
+        return path
+
+    def save_hist_npz(path, hist_np):
+        np.savez_compressed(path, **hist_np)
+
+    chains_np = {f: np.asarray(getattr(chains, f))
+                 for f in GeomHistograms._fields}
+    for i in range(M):
+        io.submit(save_hist_npz, npz_name(i, 1),
+                  {f: chains_np[f][i * K] for f in GeomHistograms._fields})
+
+    # ---- the batched sampling loop -------------------------------------
+    while True:
+        writing = np.zeros((M, K), bool)
+        budget = [cfg.Nmax - produced[i] for i in range(M)]
+        for i in range(M):
+            act = np.where(active[i])[0]
+            writing[i, act[:max(0, budget[i])]] = True
+        if not writing.any():
+            break
         key, k_it = jax.random.split(key)
-        npzs = [{"dist": h.dist, "omega": h.omega, "theta": h.theta,
-                 "phi": h.phi} for h in chains]
+        npzs = [{f: chains_np[f][c]
+                 for f in ("dist", "omega", "theta", "phi")}
+                for c in range(C)]
         fr = fold_chains(npzs, seq, k_it, mode=cfg.mode,
                          use_orient=cfg.angle, fastrelax=cfg.fastrelax,
                          max_iter=cfg.max_iter,
                          candidates=cfg.chain_candidates)
-        atoms_np = {a: np.asarray(v) for a, v in fr.atoms.items()}
-        if cfg.emit_full_atom:
-            from trx2dy.io.pdbio import write_pdb_atom14
-            from trx2dy.physics.sidechain import pack_ensemble
-            xyz14, mask14, _ = pack_ensemble(fr.torsions, seq)
-            xyz14, mask14 = np.asarray(xyz14), np.asarray(mask14)
-        for k in range(K):
-            if not active[k] or produced - begin_num >= cfg.Nmax:
-                continue
-            produced += 1
-            pdb_path = os.path.join(pred_pdb_dir,
-                                    f"{pdb_name}{produced}.pdb")
-            if cfg.emit_full_atom:
-                write_pdb_atom14(pdb_path, seq, xyz14[k], mask14)
-            else:
-                write_pdb_backbone(
-                    pdb_path, seq, {a: v[k] for a, v in atoms_np.items()})
-            fact = measure_decoy(fr.atoms["N"][k], fr.atoms["CA"][k],
-                                 fr.atoms["C"][k], fr.atoms["CB"][k])
-            new_hist = dampen_step(chains[k], fact, sigma=cfg.sigma,
-                                   angle=cfg.angle)
-            np.savez_compressed(npz_pattern.format(k=produced + 1),
-                                **histograms_to_npz(new_hist))
-            delta = convergence_delta(old_tmps[k], new_hist)
-            trace.write(decoy=f"{pdb_name}{produced}", kind="chain",
-                        chain=k, energy=float(np.asarray(fr.energy)[k]),
-                        delta=float(delta))
-            if delta < CONVERGE_TOL:
-                active[k] = False
-            chains[k] = new_hist
-            old_tmps[k] = new_hist
-    return produced
+
+        lanes, paths, rows = [], [], []
+        for i in range(M):
+            for k in range(K):
+                if not writing[i, k]:
+                    continue
+                produced[i] += 1
+                lanes.append(i * K + k)
+                paths.append(pdb_name_for(i, produced[i]))
+                rows.append((i, k, produced[i]))
+        write_decoys(fr, lanes, paths)
+
+        a = fr.atoms
+        adv = np.zeros((C,), bool)
+        adv[lanes] = True
+        chains, delta = _chain_update_batch(
+            chains, a["N"], a["CA"], a["C"], a["CB"],
+            jnp.asarray(adv), cfg.sigma, cfg.angle)
+        delta_np = np.asarray(delta)
+        chains_np = {f: np.asarray(getattr(chains, f))
+                     for f in GeomHistograms._fields}
+        e_np = np.asarray(fr.energy)
+        for (i, k, num) in rows:
+            c = i * K + k
+            io.submit(save_hist_npz, npz_name(i, num + 1),
+                      {f: chains_np[f][c] for f in GeomHistograms._fields})
+            trace.write(decoy=f"{pdb_name}{num}", kind="chain",
+                        model=streams[i].tag, chain=k,
+                        energy=float(e_np[c]), delta=float(delta_np[c]))
+            if delta_np[c] < CONVERGE_TOL:
+                active[i, k] = False
+
+    io.close()
+
+    # resolve provisional names now that every stream's count is known
+    for i in range(1, M):
+        if begins[i] is None:
+            begins[i] = begins[i - 1] + produced[i - 1]
+    for path, i, k, ext in renames:
+        final = os.path.join(os.path.dirname(path),
+                             f"{pdb_name}{begins[i] + k}{ext}")
+        if os.path.exists(path):
+            os.replace(path, final)
+    return [begins[i] + produced[i] for i in range(M)]
+
+
+def _generate_ensemble_chains(pdb_name, processed_npz_dir, pred_pdb_dir,
+                              initial_npz, seq, cfg: DynamicsConfig,
+                              key: jax.Array, begin_num: int = 0,
+                              trace: Optional[TraceWriter] = None) -> int:
+    """K-chain batched variant of the iterative sampler (single model)."""
+    if isinstance(initial_npz, (str, os.PathLike)):
+        initial_npz = dict(np.load(initial_npz))
+    stream = _ModelStream(tag="", npz_dir=processed_npz_dir,
+                          pdb_dir=pred_pdb_dir,
+                          hist=histograms_from_npz(initial_npz),
+                          begin=begin_num)
+    return _generate_chains_multi(pdb_name, [stream], seq, cfg, key,
+                                  trace)[0]
