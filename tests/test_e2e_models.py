@@ -125,6 +125,27 @@ class TestMSAFilter:
         idx = set(filter_msa_diff(msa, 4).tolist())
         assert idx == {0, 20, 21, 22}
 
+    def test_redundant_msa_falls_back_to_max_cutoff_set(self):
+        """When NO cutoff satisfies per-block coverage (hyper-redundant
+        MSA), HH-suite still emits the 90%-cutoff filtered set — the
+        fallback must NOT be the unfiltered input prefix (which would
+        return near-duplicates of the query)."""
+        from trx2dy.io.msa_filter import filter_msa_diff
+        rng = np.random.default_rng(11)
+        L = 30
+        query = rng.integers(0, 20, L)
+        # rows 1..39: exact copies (identity 100% > every cutoff)
+        msa = np.vstack([query, np.tile(query, (39, 1))])
+        # two genuinely distinct rows at the END of the file
+        distinct = rng.integers(0, 20, (2, L))
+        msa = np.vstack([msa, distinct])
+        idx = list(filter_msa_diff(msa, 8))
+        # coverage target (min(total, 8) per block) is unreachable: the
+        # filter keeps [query, distinct rows], never rows 1..7
+        assert idx[0] == 0
+        assert 40 in idx and 41 in idx
+        assert 1 not in idx
+
     def test_trigger_ratio(self):
         from trx2dy.io.msa_filter import hhfilter_equivalent
         msa = np.zeros((100, 5), dtype=int)

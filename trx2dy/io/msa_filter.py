@@ -31,8 +31,20 @@ _CUTOFFS = (0.20, 0.30, 0.40, 0.50, 0.60, 0.70, 0.80, 0.90)
 
 
 def _greedy_max_id(msa: np.ndarray, nongap: np.ndarray, lens: np.ndarray,
-                   cutoff: float) -> np.ndarray:
-    """Indices kept by the max-pairwise-identity filter at one cutoff."""
+                   cutoff: float, cover=None, need=None,
+                   early_min: int = 0) -> tuple:
+    """Indices kept by the max-pairwise-identity filter at one cutoff.
+
+    When cover/need are given, the scan early-exits as soon as the kept set
+    both reaches early_min rows AND satisfies the per-block coverage target
+    — the acceptance condition is monotone in the growing kept set, so the
+    accepted/rejected verdict and the kept-set PREFIX are unchanged; only
+    tail rows the caller would truncate anyway are skipped. This bounds the
+    per-cutoff work for deep redundant MSAs (30000-row parse limit), where
+    a high cutoff would otherwise keep nearly every row.
+
+    Returns (kept_indices, coverage_satisfied).
+    """
     N, L = msa.shape
     kept_rows = np.empty((N, L), msa.dtype)
     kept_ng = np.empty((N, L), bool)
@@ -41,6 +53,8 @@ def _greedy_max_id(msa: np.ndarray, nongap: np.ndarray, lens: np.ndarray,
     kept_rows[0], kept_ng[0], kept_len[0], kept_idx[0] = (
         msa[0], nongap[0], lens[0], 0)
     k = 1
+    check_every = max(int(early_min), 256)
+    next_check = max(int(early_min), 2)
     for i in range(1, N):
         both = kept_ng[:k] & nongap[i]
         ident = ((kept_rows[:k] == msa[i]) & both).sum(axis=1)
@@ -49,7 +63,13 @@ def _greedy_max_id(msa: np.ndarray, nongap: np.ndarray, lens: np.ndarray,
             kept_rows[k], kept_ng[k] = msa[i], nongap[i]
             kept_len[k], kept_idx[k] = lens[i], i
             k += 1
-    return kept_idx[:k]
+            if cover is not None and k >= next_check:
+                if (cover[kept_idx[:k]].sum(axis=0) >= need).all():
+                    return kept_idx[:k], True
+                next_check = k + check_every
+    ok = cover is not None and \
+        bool((cover[kept_idx[:k]].sum(axis=0) >= need).all())
+    return kept_idx[:k], ok
 
 
 def hhfilter_diff_indices(msa: np.ndarray, n_keep: int) -> np.ndarray:
@@ -69,11 +89,16 @@ def hhfilter_diff_indices(msa: np.ndarray, n_keep: int) -> np.ndarray:
     total = cover.sum(axis=0)                                 # per block
     need = np.minimum(total, n_keep)
 
+    cand = np.arange(N)
     for cutoff in _CUTOFFS:
-        cand = _greedy_max_id(msa, nongap, lens, cutoff)
-        if (cover[cand].sum(axis=0) >= need).all():
+        cand, ok = _greedy_max_id(msa, nongap, lens, cutoff,
+                                  cover=cover, need=need, early_min=n_keep)
+        if ok:
             return cand
-    return np.arange(N)
+    # No cutoff met the per-block coverage target. HH-suite still emits the
+    # max-cutoff (90%) filtered set in this case — keep ITS rows rather
+    # than falling back to the unfiltered (near-duplicate) input order.
+    return cand
 
 
 def filter_msa_diff(msa: np.ndarray, n_keep: int) -> np.ndarray:
