@@ -374,8 +374,11 @@ class TestTraces:
         npz_dir = tmp_path / "npz"
         npz_dir.mkdir()
         np.savez_compressed(npz_dir / "t_NMR.npz", **_rand_npz(L, key=61))
+        # n_chains=1: the sequential sampler selects exactly ONE seed;
+        # K chains would mark the top-K initials selected
         cfg = DynamicsConfig(init_num=2, Nmax=1, max_iter=10,
-                             fastrelax=False, mult_two_models=False)
+                             fastrelax=False, mult_two_models=False,
+                             n_chains=1)
         out = run_single("t", str(fasta), None, str(tmp_path / "out"), cfg,
                          npz_dir=str(npz_dir))
         rows = [json.loads(ln) for ln in

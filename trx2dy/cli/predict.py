@@ -34,9 +34,8 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from trx2dy.io.a3m import parse_a3m
-    from trx2dy.io.msa_filter import hhfilter_equivalent
-    from trx2dy.models.esm_msa import mymsa_to_esmmsa, esm_msa_apply
-    from trx2dy.models.folding_e2e import folding_apply
+    from trx2dy.models.esm_msa import mymsa_to_esmmsa, esm_msa_apply_jit
+    from trx2dy.models.folding_e2e import folding_apply_jit
     from trx2dy.models.predictor2d_infer import load_params
     from trx2dy.io.pdbio import write_pdb_atom14
 
@@ -45,7 +44,17 @@ def main(argv=None) -> None:
     msa = parse_a3m(args.msa, limit=30000)
     if len(msa) == 1:
         msa = np.concatenate([msa, msa], axis=0)
-    msa_filtered = hhfilter_equivalent(msa, args.nrows)[:args.nrows]
+    if len(msa) > 1.1 * args.nrows:
+        # reference contract (predict.py:141-147): the filtered MSA is a
+        # reusable on-disk artifact filter{nrows}.a3m in out_dir
+        from trx2dy.io.msa_filter import filter_msa_diff, write_filtered_a3m
+        a3m_filtered = os.path.join(args.out_dir, f"filter{args.nrows}.a3m")
+        if not os.path.isfile(a3m_filtered):
+            write_filtered_a3m(args.msa, a3m_filtered,
+                               filter_msa_diff(msa, args.nrows))
+        msa_filtered = parse_a3m(a3m_filtered, limit=args.nrows)
+    else:
+        msa_filtered = msa
     raw_seq = open(args.msa).readlines()[1].strip().replace("-", "")
 
     model_params = load_params(
@@ -59,10 +68,10 @@ def main(argv=None) -> None:
         esm_params = load_params(esm_file)
 
     toks = jnp.asarray(mymsa_to_esmmsa(msa_filtered))
-    emb = esm_msa_apply(esm_params, toks, repr_layers=(12,),
+    emb = esm_msa_apply_jit(esm_params, toks, repr_layers=(12,),
                         need_head_weights=True, row_chunk=args.row_chunk)
 
-    out = folding_apply(model_params, raw_seq, toks,
+    out = folding_apply_jit(model_params, raw_seq, toks,
                         emb["representations"][12], emb["row_attentions"],
                         n_recycle=args.num_recycle, msa_cutoff=args.nrows)
 
@@ -77,8 +86,11 @@ def main(argv=None) -> None:
     with open(os.path.join(args.out_dir, "plddt.csv"), "w") as f:
         f.write("Residue_Index,pLDDT\n")
         for i, v in enumerate(plddt):
-            f.write(f"{i + 1},{v}\n")
-    print(f"done! pLDDT: {plddt.mean():.3f}")
+            # float() upcasts the float32 the way pandas does before repr,
+            # matching the committed plddt.csv digits (example/output)
+            f.write(f"{i + 1},{float(v)}\n")
+    print("done!")
+    print(f"pLDDT: {float(plddt.mean()):.3f}")
 
 
 def _find(mdir: str, stem: str, exts) -> str:

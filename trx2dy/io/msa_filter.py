@@ -118,3 +118,45 @@ def hhfilter_equivalent(msa: np.ndarray, nrows: int,
     if msa.shape[0] > trigger_ratio * nrows:
         return msa[filter_msa_diff(msa, nrows)]
     return msa
+
+
+def write_filtered_a3m(src_path: str, dst_path: str, indices,
+                       limit: int = 30000) -> None:
+    """Write the a3m entries at the given parsed-row indices to dst_path.
+
+    The reference's predict.py shells out to hhfilter to produce the
+    `filter{nrows}.a3m` artifact (predict.py:142-144), which preserves the
+    source entries verbatim (headers + lowercase insertions). This mirrors
+    that artifact from in-process filter indices: rows are numbered the way
+    parse_a3m counts them (header lines skipped, wrong-length rows skipped,
+    `limit` cap), so index k here is row k of parse_a3m(src_path, limit)."""
+    with open(src_path) as f:
+        lines = f.readlines()
+    try:
+        seq_len = len(lines[1].strip())
+    except IndexError:
+        seq_len = None
+    from trx2dy.io.a3m import _LOWER_TABLE
+    want = set(int(i) for i in np.asarray(indices))
+    out, row, header = [], 0, None
+    for line in lines:
+        if not line:
+            continue
+        if line[0] == ">":
+            header = line.rstrip("\n")
+            continue
+        s = line.rstrip().translate(_LOWER_TABLE)
+        if seq_len is not None and len(s) != seq_len:
+            header = None
+            continue
+        if row in want:
+            out.append((row, header if header is not None else f">seq_{row}",
+                        line.rstrip("\n")))
+        header = None
+        row += 1
+        if row >= limit:
+            break
+    out.sort(key=lambda t: t[0])
+    with open(dst_path, "w") as f:
+        for _, h, s in out:
+            f.write(h + "\n" + s + "\n")

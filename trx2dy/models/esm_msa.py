@@ -288,3 +288,14 @@ def contact_head_apply(p: Params, row_attentions: jnp.ndarray,
     feats = jnp.transpose(a, (1, 2, 0))                     # (C, C, L*H)
     logits = linear(p, "contact_head.regression", feats)[..., 0]
     return jax.nn.sigmoid(logits)
+
+
+# Production (compiled) entry: ONE XLA program for the whole trunk instead
+# of eager per-op dispatch — essential over the TPU tunnel, where each
+# eager op is a host round-trip. Chunk sizes / flags are compile-time
+# (static); tests that override the module dim constants use the eager
+# esm_msa_apply so no stale traces are cached here.
+esm_msa_apply_jit = jax.jit(
+    esm_msa_apply,
+    static_argnames=("repr_layers", "need_head_weights", "row_chunk",
+                     "col_chunk", "max_tokens_per_msa"))

@@ -167,3 +167,12 @@ def folding_apply(p: Params, seq: str, msa_esm: jnp.ndarray,
         if coord_recycling:
             x_prev = sm_out["cords_ca"]
     return out
+
+
+# Production (compiled) entry — the e2e CLI's per-recycle trunk+SM step as
+# one XLA program (eager dispatch over the TPU tunnel is a host round-trip
+# per op). seq is a compile-time constant like the other config args.
+folding_apply_jit = jax.jit(
+    folding_apply,
+    static_argnames=("seq", "n_recycle", "msa_cutoff", "sm_blocks",
+                     "trunk_depth", "coord_recycling"))
