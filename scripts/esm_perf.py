@@ -68,6 +68,9 @@ def main(argv=None):
     ap.add_argument("--length", type=int, default=400)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--row_chunk", type=int, default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="cast matmul weights to bf16 (norms stay f32), "
+                         "the reference's autocast equivalent")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -85,13 +88,17 @@ def main(argv=None):
         rng.integers(0, 21, (args.rows, args.length))))
     params = {k: jnp.asarray(v)
               for k, v in random_esm_params(rng).items()}
+    if args.bf16:
+        from trx2dy.models.predictor2d import cast_params
+        params = cast_params(params)
 
     def fwd():
         out = esm_msa_apply_jit(params, toks, repr_layers=(12,),
                             need_head_weights=True,
                             row_chunk=args.row_chunk)
-        jax.block_until_ready(out["representations"][12])
-        return out
+        # force a host transfer: block_until_ready alone can return
+        # before the tunnel worker finishes the async execution
+        return float(jnp.sum(out["representations"][12]))
 
     t0 = time.time()
     fwd()

@@ -154,6 +154,33 @@ class TestMSAFilter:
         msa2 = np.random.randint(0, 21, (300, 5))
         assert hhfilter_equivalent(msa2, 100).shape[0] <= 100
 
+    def test_write_filtered_a3m_preserves_entries(self, tmp_path):
+        """The filter{nrows}.a3m artifact (reference predict.py:142-144 via
+        hhfilter) keeps source headers + lowercase insertions verbatim and
+        numbers rows the way parse_a3m counts them (wrong-length rows and
+        headers skipped)."""
+        from trx2dy.io.a3m import parse_a3m
+        from trx2dy.io.msa_filter import write_filtered_a3m
+        src = tmp_path / "in.a3m"
+        src.write_text(
+            ">query\nAMIVG\n"
+            ">hit1 desc\nAMiaIVG\n"       # insertions -> row 1, width 5
+            ">bad\nAMIV\n"                # wrong length: skipped
+            "CMIVG\n"                     # headerless row 2
+            ">hit3\nGMIVG\n")             # row 3
+        dst = tmp_path / "filter.a3m"
+        write_filtered_a3m(str(src), str(dst), [0, 2, 3])
+        lines = dst.read_text().splitlines()
+        assert lines == [">query", "AMIVG", ">seq_2", "CMIVG",
+                         ">hit3", "GMIVG"]
+        # a kept-with-insertions entry stays verbatim
+        write_filtered_a3m(str(src), str(dst), [1])
+        assert dst.read_text().splitlines() == [">hit1 desc", "AMiaIVG"]
+        # round-trip: parsing the artifact matches slicing the parsed source
+        write_filtered_a3m(str(src), str(dst), [0, 1, 3])
+        assert (parse_a3m(str(dst)) ==
+                parse_a3m(str(src))[[0, 1, 3]]).all()
+
 
 class TestAtom14Writer:
     def test_roundtrip_backbone(self, tmp_path):

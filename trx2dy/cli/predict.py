@@ -23,6 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--row_chunk", default=None, type=int,
                    help="chunk tied-row attention over this many MSA rows "
                         "(long-MSA memory bound)")
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="bf16 matmul weights, norms in f32 — the "
+                        "reference's torch.amp.autocast equivalent "
+                        "(predict.py:55, main_chunk.py:147); measured "
+                        "1.85x on the ESM trunk (PERF.md)")
     return p
 
 
@@ -67,6 +73,11 @@ def main(argv=None) -> None:
     else:
         esm_params = load_params(esm_file)
 
+    if args.bf16:
+        from trx2dy.models.predictor2d import cast_params
+        esm_params = cast_params(esm_params)
+        model_params = cast_params(model_params)
+
     toks = jnp.asarray(mymsa_to_esmmsa(msa_filtered))
     emb = esm_msa_apply_jit(esm_params, toks, repr_layers=(12,),
                         need_head_weights=True, row_chunk=args.row_chunk)
@@ -75,13 +86,13 @@ def main(argv=None) -> None:
                         emb["representations"][12], emb["row_attentions"],
                         n_recycle=args.num_recycle, msa_cutoff=args.nrows)
 
-    plddt = np.asarray(out["plddt"])
+    plddt = np.asarray(out["plddt"], np.float32)
     np.savez_compressed(
         os.path.join(args.out_dir, f"{args.model_name}_results.npz"),
         plddt=plddt,
-        **{k: np.asarray(v) for k, v in out["geoms"].items()})
+        **{k: np.asarray(v, np.float32) for k, v in out["geoms"].items()})
     write_pdb_atom14(os.path.join(args.out_dir, f"{args.model_name}.pdb"),
-                     raw_seq, np.asarray(out["atom14"]),
+                     raw_seq, np.asarray(out["atom14"], np.float32),
                      np.asarray(out["atom14_mask"]), plddt)
     with open(os.path.join(args.out_dir, "plddt.csv"), "w") as f:
         f.write("Residue_Index,pLDDT\n")
