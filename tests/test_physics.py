@@ -798,3 +798,40 @@ class TestNativeRecovery:
                   max_iter=300, fastrelax=False, seed=0)
         assert tms.max() >= 0.80, tms      # measured 0.958 (CPU, seed 0)
         assert tms.mean() >= 0.60, tms
+
+
+class TestBucketRatchet:
+    """bucket_floors pins the per-program pair-bucket shapes across the
+    dynamics sampler's dampening iterations — without it a count drift
+    across a half-octave bucket boundary changes the stage-program shape
+    and costs a minutes-long TPU recompile EVERY step."""
+
+    def test_fold_chains_shapes_stable_across_steps(self):
+        from trx2dy.physics.folder import _stage_run_jit, fold_chains
+        L = 16
+        seq = "ARNDCQEGHILKMFPS"
+        floors: dict = {}
+        kw = dict(mode=2, fastrelax=True, max_iter=6,
+                  bucket_floors=floors)
+        fold_chains([_rand_npz(L, key=95), _rand_npz(L, key=96)], seq,
+                    jax.random.PRNGKey(0), **kw)
+        assert floors and all(v for v in floors.values())
+        n_compiled = _stage_run_jit._cache_size()
+        # a later step with DIFFERENT (dampened-like) histograms must not
+        # change any program shape: same jit cache size after the call
+        fold_chains([_rand_npz(L, key=97), _rand_npz(L, key=98)], seq,
+                    jax.random.PRNGKey(1), **kw)
+        assert _stage_run_jit._cache_size() == n_compiled
+
+    def test_floor_respected_and_ratcheted(self):
+        from trx2dy.physics.compact import compact_restraints_lanes
+        from trx2dy.physics.restraints import (
+            compile_restraints, restraint_masks)
+        L = 12
+        rst = compile_restraints(_rand_npz(L, key=99))
+        masks = restraint_masks(rst, "A" * L, 1, L, pcut=0.5, nogly=False)
+        small = compact_restraints_lanes([rst], [masks])
+        big = compact_restraints_lanes([rst], [masks],
+                                       floor={"dist": 2048})
+        assert big.dist.i.shape[1] == 2048
+        assert small.dist.i.shape[1] <= 2048

@@ -510,9 +510,13 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     # ---- initial ensembles: ALL streams' initial decoys in one program --
     key, k_init = jax.random.split(key)
     init_npzs = [hist_npz(s.hist) for s in streams for _ in range(N)]
+    # pair-bucket ratchet: ONE compiled shape per fold program across all
+    # dampening steps (mask drift otherwise recompiles minutes per step)
+    floors: dict = {}
     fr = fold_chains(init_npzs, seq, k_init, mode=cfg.mode,
                      use_orient=cfg.angle, fastrelax=cfg.fastrelax,
-                     max_iter=cfg.max_iter, candidates=cfg.chain_candidates)
+                     max_iter=cfg.max_iter, candidates=cfg.chain_candidates,
+                     bucket_floors=floors)
     init_lanes = list(range(M * N))
     init_paths = [os.path.join(streams[i].pdb_dir, f"initial{j}.pdb")
                   for i in range(M) for j in range(N)]
@@ -591,7 +595,8 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
         fr = fold_chains(npzs, seq, k_it, mode=cfg.mode,
                          use_orient=cfg.angle, fastrelax=cfg.fastrelax,
                          max_iter=cfg.max_iter,
-                         candidates=cfg.chain_candidates)
+                         candidates=cfg.chain_candidates,
+                         bucket_floors=floors)
 
         lanes, paths, rows = [], [], []
         for i in range(M):

@@ -151,14 +151,22 @@ class CompactLanes(NamedTuple):
     phi: CompactTermLanes
 
 
-def compact_restraints_lanes(rsts, masks_list) -> CompactLanes:
+def compact_restraints_lanes(rsts, masks_list,
+                             floor: dict | None = None) -> CompactLanes:
     """Compact per-lane masks for chain mode: lane k (one decoy) has its own
     restraint set rsts[k] and active masks masks_list[k]. Pair lists pad to
-    ONE bucketed P (the max across lanes) so the lane axis stacks."""
+    ONE bucketed P (the max across lanes) so the lane axis stacks.
+
+    floor: optional {term: min_P} lower bounds on the bucket sizes. The
+    dynamics sampler's dampened masks change active-pair counts every
+    iteration; without a floor each count drift across a half-octave
+    boundary changes the stage-program SHAPE and costs a minutes-long TPU
+    recompile. The driver ratchets the floor up across iterations so the
+    per-step programs keep ONE shape for the whole run."""
     terms = {}
     for name in ("dist", "omega", "theta", "phi"):
         per_lane = []
-        P = PAIR_BUCKET
+        P = max(PAIR_BUCKET, (floor or {}).get(name, 0))
         for rst, masks in zip(rsts, masks_list):
             ct = _compact_term(getattr(rst, name), getattr(masks, name))
             per_lane.append(ct)

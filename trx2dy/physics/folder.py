@@ -626,7 +626,8 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
                 params: FoldParams = FoldParams(), max_iter: int = 1000,
                 x0: Optional[jnp.ndarray] = None,
                 candidates: int = 1,
-                detect_disulf: bool = True) -> FoldResult:
+                detect_disulf: bool = True,
+                bucket_floors: Optional[dict] = None) -> FoldResult:
     """Fold ONE decoy per chain, each chain with its OWN restraint set.
 
     The TPU-native throughput axis for the Dynamics sampler: K independent
@@ -667,10 +668,26 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
         r1_masks, r2_masks = dup(r1_masks), dup(r2_masks)
 
     from trx2dy.physics.compact import compact_restraints_lanes
-    stages = [compact_restraints_lanes(rsts, [sm[s] for sm in stage_masks])
+
+    def compact_with(key, masks):
+        # bucket_floors (caller-owned, mutated here): ratchet the pair
+        # buckets per program so iterative callers (the dynamics sampler)
+        # keep ONE compiled shape per program across dampening steps — a
+        # count drift across a half-octave bucket boundary otherwise costs
+        # a minutes-long TPU recompile every iteration
+        fl = None if bucket_floors is None else \
+            bucket_floors.setdefault(key, {})
+        cl = compact_restraints_lanes(rsts, masks, floor=fl)
+        if fl is not None:
+            for name in ("dist", "omega", "theta", "phi"):
+                fl[name] = max(fl.get(name, 0),
+                               getattr(cl, name).i.shape[1])
+        return cl
+
+    stages = [compact_with(("stage", s), [sm[s] for sm in stage_masks])
               for s in range(n_stages)]
-    relax1 = compact_restraints_lanes(rsts, r1_masks)
-    relax2 = compact_restraints_lanes(rsts, r2_masks)
+    relax1 = compact_with("relax1", r1_masks)
+    relax2 = compact_with("relax2", r2_masks)
 
     M = len(rsts)
     if x0 is None:
