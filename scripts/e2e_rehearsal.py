@@ -127,9 +127,12 @@ def main(argv=None):
     shutil.rmtree(args.out, ignore_errors=True)
     from trx2dy.cli.predict import main as predict_main
     msa = f"{REF}/example/output/filter500.a3m"
+    # bf16 (the CLI default, = the reference's autocast) only on TPU —
+    # CPU emulates bf16 slowly and this path is also the format check
+    flags = ["--no-bf16"] if args.cpu else []
     t0 = time.time()
     predict_main(["-i", msa, "-o", args.out, "-mdir", args.mdir,
-                  "-nrows", str(args.nrows)])
+                  "-nrows", str(args.nrows)] + flags)
     dt = time.time() - t0
     print(f"[e2e-rehearsal] predict.py end-to-end: {dt:.1f}s "
           f"(R=500 filtered, L=127, 3 recycles)")
@@ -141,7 +144,7 @@ def main(argv=None):
     # reuse contract: second run must keep the existing filter artifact
     mt = os.path.getmtime(os.path.join(args.out, f"filter{args.nrows}.a3m"))
     predict_main(["-i", msa, "-o", args.out, "-mdir", args.mdir,
-                  "-nrows", str(args.nrows)])
+                  "-nrows", str(args.nrows)] + flags)
     assert os.path.getmtime(
         os.path.join(args.out, f"filter{args.nrows}.a3m")) == mt, \
         "filter a3m was regenerated instead of reused"
