@@ -1,5 +1,9 @@
 """A/B: does a final cartesian-DOF refinement stage change ensemble quality?
 
+(The stage is now ON by default in fold_ensemble/fold_chains when relax
+runs — this script folds the baseline arm with cart_refine=False and
+applies the stage manually to measure the delta.)
+
 Reference protocol includes cartesian minimization passes
 (folding/folding.py:169,234) that relieve bond/angle strain; the NeRF folder
 is torsion-only. This measures the cartesian stage's effect on (a) the
@@ -53,7 +57,7 @@ def run_example(decoys, max_iter, seed):
     apo, _ = read_pdb_backbone("/root/reference/example/apo.pdb")
     res = fold_ensemble(npz, seq, jax.random.PRNGKey(seed),
                         n_decoys=decoys, max_iter=max_iter, fastrelax=True,
-                        oversample=0.25)
+                        oversample=0.25, cart_refine=False)
     rst = compile_restraints(npz)
     masks = restraint_masks(rst, seq, 1, len(seq), pcut=0.30, nogly=True)
     t0 = time.time()
@@ -79,7 +83,7 @@ def run_l300(decoys, max_iter, seed):
     seq = "A" * L
     res = fold_ensemble(npz, seq, jax.random.PRNGKey(seed),
                         n_decoys=decoys, max_iter=max_iter, fastrelax=True,
-                        oversample=0.25)
+                        oversample=0.25, cart_refine=False)
     rst = compile_restraints(npz)
     masks = restraint_masks(rst, seq, 1, L, pcut=0.30, nogly=True)
     refined, f = cartesian_refine(res.atoms, rst, masks, SCOREFXN_RELAX,

@@ -125,7 +125,8 @@ def _fold_and_write(hist: GeomHistograms, seq: str, key, n_decoys: int,
                         pad_to=pad_to, **cfg.fold_kwargs)
     if cfg.emit_full_atom:
         from trx2dy.physics.sidechain import pack_and_write
-        pack_and_write(out_paths, seq, res.torsions)
+        # sidechains pack onto the (cart-refined) folded backbone
+        pack_and_write(out_paths, seq, res.torsions, backbone=res.atoms)
     else:
         atoms_np = {k: np.asarray(v) for k, v in res.atoms.items()}
         for b, path in enumerate(out_paths):
@@ -496,7 +497,9 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
         full-atom output is on) runs ONLY over the written lanes."""
         if cfg.emit_full_atom:
             t_sel = jnp.asarray(np.asarray(fr.torsions)[lanes])
-            xyz14, mask14, _ = pack_ensemble(t_sel, seq)
+            bb_sel = {k: jnp.asarray(np.asarray(v)[lanes])
+                      for k, v in fr.atoms.items()}
+            xyz14, mask14, _ = pack_ensemble(t_sel, seq, backbone=bb_sel)
             xyz14 = np.asarray(xyz14)
             mask14 = np.asarray(mask14)
             for j, path in enumerate(paths):

@@ -89,6 +89,16 @@ def cart_bonded_energy(atoms: dict, k_bond: float = K_BOND,
 def atoms_energy(atoms: dict, rst, masks, w: EnergyWeights, res_mask=None):
     """pose_energy's term sum on EXPLICIT atoms (energy.pose_energy:229-266
     semantics, with torsions re-extracted from the displaced coordinates)."""
+    e = _centroid_terms(atoms, w, res_mask)
+    if w.atom_pair or w.dihedral or w.angle:
+        g = pairwise_geometry(atoms)
+        e = e + restraint_energy(rst, masks, g["dist"], g["omega"],
+                                 g["theta"], g["phi"],
+                                 w.atom_pair, w.dihedral, w.angle)
+    return e
+
+
+def _centroid_terms(atoms: dict, w: EnergyWeights, res_mask=None):
     e = jnp.asarray(0.0, atoms["CA"].dtype)
     if w.vdw:
         e = e + w.vdw * vdw_energy(atoms, res_mask)
@@ -103,16 +113,15 @@ def atoms_energy(atoms: dict, rst, masks, w: EnergyWeights, res_mask=None):
         e = e + w.cen_hb * hbond_energy(atoms, 1.0, 1.0, res_mask)
     if w.hbond_sr or w.hbond_lr:
         e = e + hbond_energy(atoms, w.hbond_sr, w.hbond_lr, res_mask)
-    if w.atom_pair or w.dihedral or w.angle:
-        g = pairwise_geometry(atoms)
-        e = e + restraint_energy(rst, masks, g["dist"], g["omega"],
-                                 g["theta"], g["phi"],
-                                 w.atom_pair, w.dihedral, w.angle)
     return e
 
 
-@functools.partial(jax.jit, static_argnames=("w_tuple", "max_iter"))
-def _refine_jit(atoms0, rst, masks, w_tuple, max_iter, res_mask=None):
+@functools.partial(jax.jit, static_argnames=("w_tuple", "max_iter", "kind",
+                                             "dist_on_ca"))
+def _refine_jit(atoms0, tables, w_tuple, max_iter, kind,
+                dist_on_ca=False, res_mask=None):
+    """Tables are ARGUMENTS (not closure constants) so the dynamics
+    sampler's per-step table changes reuse ONE compiled program."""
     w = EnergyWeights(*w_tuple)
     B, L, _ = atoms0["N"].shape
 
@@ -120,11 +129,26 @@ def _refine_jit(atoms0, rst, masks, w_tuple, max_iter, res_mask=None):
         d = delta.reshape(B, len(_ATOMS), L, 3)
         return {nm: atoms0[nm] + d[:, i] for i, nm in enumerate(_ATOMS)}
 
+    def restraints_b(atoms_b):
+        if kind == "dense":
+            rst, masks = tables
+            def one(at):
+                g = pairwise_geometry(at)
+                return restraint_energy(rst, masks, g["dist"], g["omega"],
+                                        g["theta"], g["phi"], w.atom_pair,
+                                        w.dihedral, w.angle)
+            return jax.vmap(one)(atoms_b)
+        from trx2dy.physics.compact import compact_restraint_energy_lanes
+        return compact_restraint_energy_lanes(
+            atoms_b, tables, w.atom_pair, w.dihedral, w.angle,
+            dist_on_ca=dist_on_ca)
+
     def efun(delta):
         atoms = unpack(delta)
-        return jax.vmap(
-            lambda at: atoms_energy(at, rst, masks, w, res_mask)
+        cen = jax.vmap(
+            lambda at: _centroid_terms(at, w, res_mask)
             + cart_bonded_energy(at, res_mask=res_mask))(atoms)
+        return cen + restraints_b(atoms)
 
     res = lbfgs_minimize(efun, jnp.zeros((B, len(_ATOMS) * L * 3)),
                          max_iter=max_iter)
@@ -133,7 +157,19 @@ def _refine_jit(atoms0, rst, masks, w_tuple, max_iter, res_mask=None):
 
 def cartesian_refine(atoms: dict, rst, masks, w: EnergyWeights,
                      max_iter: int = 200, res_mask=None):
-    """Refine a (B, L, 3)-atom ensemble with cartesian DOFs.
+    """Refine a (B, L, 3)-atom ensemble with cartesian DOFs against ONE
+    dense restraint set (fold_ensemble's shape).
 
     Returns (refined atoms dict, (B,) final energies incl. cart_bonded)."""
-    return _refine_jit(atoms, rst, masks, tuple(w), max_iter, res_mask)
+    return _refine_jit(atoms, (rst, masks), tuple(w), max_iter, "dense",
+                       res_mask=res_mask)
+
+
+def cartesian_refine_lanes(atoms: dict, cl, w: EnergyWeights,
+                           max_iter: int = 200, dist_on_ca: bool = False,
+                           res_mask=None):
+    """Chain-mode refinement: lane k refines against its OWN compacted
+    restraint tables (physics/compact.py CompactLanes — the relax-stage
+    compact set fold_chains already builds)."""
+    return _refine_jit(atoms, cl, tuple(w), max_iter, "lanes",
+                       dist_on_ca=dist_on_ca, res_mask=res_mask)

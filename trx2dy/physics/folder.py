@@ -514,7 +514,8 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
                   remat: bool = False,
                   oversample: float = 0.0,
                   pad_to: Optional[int] = None,
-                  detect_disulf: bool = True) -> FoldResult:
+                  detect_disulf: bool = True,
+                  cart_refine: bool = True) -> FoldResult:
     """Fold an ensemble of decoys from predicted geometry histograms.
 
     Args:
@@ -615,8 +616,20 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
         x = jnp.asarray(np.asarray(x)[keep])
         f = jnp.asarray(np.asarray(f)[keep])
 
-    t = x.reshape(-1, 3, L)[:, :, :L_true]
-    atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
+    tp = x.reshape(-1, 3, L)
+    atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(tp)
+    if cart_refine and fastrelax and rst_mode in ("no-idp", "idp"):
+        # the reference's cartesian channel (min_mover_cart folding.py:169,
+        # cart-switched relax round 2 :234): small per-atom displacements
+        # against the relax score + harmonic ideal-geometry (cart_bonded)
+        # terms. Runs AFTER energy gating, on the kept lanes only.
+        # Measured +0.02 mean TM on the bundled example (PERF.md).
+        from trx2dy.physics.cartmin import cartesian_refine
+        atoms, _ = cartesian_refine(atoms, rst, relax2, SCOREFXN_RELAX,
+                                    max_iter=200, res_mask=res_mask)
+    t = tp[:, :, :L_true]
+    if L_true < L:
+        atoms = {k: v[:, :L_true] for k, v in atoms.items()}
     return FoldResult(torsions=t, energy=f, atoms=atoms)
 
 
@@ -627,7 +640,8 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
                 x0: Optional[jnp.ndarray] = None,
                 candidates: int = 1,
                 detect_disulf: bool = True,
-                bucket_floors: Optional[dict] = None) -> FoldResult:
+                bucket_floors: Optional[dict] = None,
+                cart_refine: bool = True) -> FoldResult:
     """Fold ONE decoy per chain, each chain with its OWN restraint set.
 
     The TPU-native throughput axis for the Dynamics sampler: K independent
@@ -703,6 +717,15 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
         pick = np.arange(K) * (M // K) + np.argmin(f_np, axis=1)
         x = jnp.asarray(np.asarray(x)[pick])
         f = jnp.asarray(np.asarray(f)[pick])
+    else:
+        pick = np.arange(K)
     t = x.reshape(K, 3, L)
     atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
+    if cart_refine and fastrelax:
+        # cartesian channel per chain, each lane against its OWN compacted
+        # relax-stage tables (see fold_ensemble; folding.py:169,234)
+        from trx2dy.physics.cartmin import cartesian_refine_lanes
+        cl = jax.tree.map(lambda a: a[jnp.asarray(pick)], relax2)
+        atoms, _ = cartesian_refine_lanes(atoms, cl, SCOREFXN_RELAX,
+                                          max_iter=200)
     return FoldResult(torsions=t, energy=f, atoms=atoms)

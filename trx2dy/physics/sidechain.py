@@ -94,15 +94,22 @@ def pack_input(seq: str) -> PackInput:
 
 
 def atom14_from_torsions(torsions: jnp.ndarray, chi: jnp.ndarray,
-                         pin: PackInput, pin_backbone: bool = True):
+                         pin: PackInput, pin_backbone: bool = True,
+                         backbone=None):
     """(3, L) backbone torsions + (L, 4) chi -> (L, 14, 3) atom14.
 
     The psi rigid-group angle equals our psi torsion variable: NeRF places
     O at dihedral(N, CA, C, O) = psi + pi (geometry/nerf.py:183-184) and
     the AF2 psi group's literature O satisfies the same convention
-    (validated geometrically in tests/test_sidechain.py)."""
+    (validated geometrically in tests/test_sidechain.py).
+
+    backbone: optional explicit N/CA/C/O/CB atom dict — sidechains pack
+    onto THESE coordinates instead of the ideal NeRF build (the
+    cartesian-refined backbone keeps its small non-ideal displacements,
+    like Rosetta's full-atom pose after a cart pass)."""
     phi, psi, _ = torsions[0], torsions[1], torsions[2]
-    atoms = build_backbone(torsions[0], torsions[1], torsions[2])
+    atoms = backbone if backbone is not None else \
+        build_backbone(torsions[0], torsions[1], torsions[2])
     bb = make_transform_from_reference(atoms["N"], atoms["CA"], atoms["C"])
     L = phi.shape[0]
 
@@ -203,10 +210,11 @@ def _disulfide_energy(xyz: jnp.ndarray, pairs: jnp.ndarray,
 
 
 def _pack_energy(chi_flat: jnp.ndarray, torsions: jnp.ndarray,
-                 pairs: jnp.ndarray, pin: PackInput) -> jnp.ndarray:
+                 pairs: jnp.ndarray, pin: PackInput,
+                 backbone=None) -> jnp.ndarray:
     L = torsions.shape[-1]
     chi = chi_flat.reshape(L, 4)
-    xyz, _, _ = atom14_from_torsions(torsions, chi, pin)
+    xyz, _, _ = atom14_from_torsions(torsions, chi, pin, backbone=backbone)
     return (W_CLASH * _clash_energy(xyz, pin)
             + W_ROTAMER * _rotamer_energy(chi, pin)
             + W_SS * _disulfide_energy(xyz, pairs, pin))
@@ -214,23 +222,25 @@ def _pack_energy(chi_flat: jnp.ndarray, torsions: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
 def _pack_jit(torsions: jnp.ndarray, chi0: jnp.ndarray, pairs: jnp.ndarray,
-              pin: PackInput, max_iter: int):
+              pin: PackInput, max_iter: int, backbone=None):
     """(B, 3, L) torsions + (B, L, 4) chi0 -> packed atom14 (B, L, 14, 3)."""
     B, _, L = torsions.shape
+    bb_ax = None if backbone is None else 0
 
     def fun(chi_flat):
-        return jax.vmap(_pack_energy, in_axes=(0, 0, None, None))(
-            chi_flat, torsions, pairs, pin)
+        return jax.vmap(_pack_energy, in_axes=(0, 0, None, None, bb_ax))(
+            chi_flat, torsions, pairs, pin, backbone)
 
     res = lbfgs_minimize(fun, chi0.reshape(B, L * 4), max_iter=max_iter)
     chi = res.x.reshape(B, L, 4)
     xyz, mask, _ = jax.vmap(atom14_from_torsions,
-                            in_axes=(0, 0, None))(torsions, chi, pin)
+                            in_axes=(0, 0, None, None, bb_ax))(
+        torsions, chi, pin, True, backbone)
     return xyz, mask, chi, res.f
 
 
 def pack_ensemble(torsions, seq: str, max_iter: int = 150,
-                  pairs: Optional[np.ndarray] = None):
+                  pairs: Optional[np.ndarray] = None, backbone=None):
     """Pack sidechains for a (B, 3, L) torsion ensemble.
 
     Returns (atom14 (B, L, 14, 3), atom14_mask (L, 14), chi (B, L, 4)).
@@ -243,25 +253,32 @@ def pack_ensemble(torsions, seq: str, max_iter: int = 150,
     B, _, L = torsions.shape
     pin = pack_input(seq)
     if pairs is None:
-        atoms = jax.vmap(lambda t: build_backbone(t[0], t[1], t[2]))(torsions)
-        cb = np.asarray(atoms["CB"]).mean(0)
+        if backbone is not None:
+            cb = np.asarray(backbone["CB"]).mean(0)
+        else:
+            atoms = jax.vmap(
+                lambda t: build_backbone(t[0], t[1], t[2]))(torsions)
+            cb = np.asarray(atoms["CB"]).mean(0)
         pairs = detect_disulfides(cb, seq)
     pairs = jnp.asarray(np.asarray(pairs, np.int32).reshape(-1, 2))
     # staggered trans start for every chi
     chi0 = jnp.full((B, L, 4), np.pi, jnp.float32) * pin.chi_mask
     xyz, mask, chi, _ = _pack_jit(torsions, chi0, pairs, pin,
-                                  max_iter=max_iter)
+                                  max_iter=max_iter, backbone=backbone)
     return xyz, mask[0] if mask.ndim == 3 else mask, chi
 
 
-def pack_and_write(paths, seq: str, torsions, max_iter: int = 150) -> None:
+def pack_and_write(paths, seq: str, torsions, max_iter: int = 150,
+                   backbone=None) -> None:
     """Pack the ensemble's sidechains and write one full-atom PDB per decoy.
 
     The full-atom equivalent of the reference's pose.dump_pdb after
-    FastRelax (folding.py:273)."""
+    FastRelax (folding.py:273). backbone: pack onto these (cart-refined)
+    coordinates instead of the ideal NeRF build of torsions."""
     from trx2dy.io.pdbio import write_pdb_atom14
 
-    xyz14, mask, _ = pack_ensemble(torsions, seq, max_iter=max_iter)
+    xyz14, mask, _ = pack_ensemble(torsions, seq, max_iter=max_iter,
+                                   backbone=backbone)
     xyz14 = np.asarray(xyz14)
     mask = np.asarray(mask)
     for b, path in enumerate(paths):
