@@ -73,7 +73,11 @@ def main() -> None:
     def run(key):
         res = fold_ensemble(npz, seq, key, n_decoys=N_DECOYS,
                             max_iter=1000, fastrelax=True)
-        res.energy.block_until_ready()
+        # block on atoms (not energy): the protocol ends with the
+        # cartesian refinement stage, which produces the atoms AFTER the
+        # staged energies — energy alone would under-time the protocol
+        res.atoms["CA"].block_until_ready()
+        np.asarray(res.atoms["CA"][0, 0])      # force through the tunnel
         return res
 
     run(jax.random.PRNGKey(0))                  # compile + warm-up
