@@ -110,6 +110,24 @@ class TestPacking:
             assert np.abs(np.asarray(xyz14[:, :, slot])
                           - np.asarray(atoms[name])).max() < 1e-4
 
+    def test_pack_onto_explicit_backbone(self, torsions):
+        """backbone= pins the atom14 backbone slots to the GIVEN (e.g.
+        cartesian-refined) coordinates instead of the ideal NeRF rebuild,
+        and sidechains still pack to finite geometry around them."""
+        t = jnp.asarray(torsions)
+        atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
+        rng = np.random.default_rng(5)
+        refined = {k: jnp.asarray(np.asarray(v)
+                                  + rng.normal(scale=0.05,
+                                               size=v.shape
+                                               ).astype(np.float32))
+                   for k, v in atoms.items()}
+        xyz14, _, _ = pack_ensemble(t, SEQ, max_iter=10, backbone=refined)
+        for slot, name in ((0, "N"), (1, "CA"), (2, "C"), (3, "O")):
+            assert np.abs(np.asarray(xyz14[:, :, slot])
+                          - np.asarray(refined[name])).max() < 1e-4
+        assert np.isfinite(np.asarray(xyz14)).all()
+
     def test_masked_chi_stays_zero(self, torsions):
         t = jnp.asarray(torsions)
         _, _, chi = pack_ensemble(t, SEQ, max_iter=10)
