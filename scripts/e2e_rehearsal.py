@@ -77,8 +77,11 @@ def check_artifacts(out: str, L: int, nrows: int) -> None:
     from trx2dy.io.a3m import parse_a3m
     filt = os.path.join(out, f"filter{nrows}.a3m")
     assert os.path.isfile(filt), "filter a3m artifact missing"
-    m = parse_a3m(filt, limit=nrows + 10)
-    assert m.shape == (nrows, L), m.shape
+    # artifact = hhfilter's full accepted set (>= nrows rows, like the
+    # binary's output file); the model consumes the first nrows
+    m = parse_a3m(filt, limit=10 ** 6)
+    assert m.shape[0] >= nrows and m.shape[1] == L, m.shape
+    assert parse_a3m(filt, limit=nrows).shape == (nrows, L)
 
     d = np.load(os.path.join(out, "model_1_results.npz"))
     assert "plddt" in d and d["plddt"].shape == (L,), list(d.keys())

@@ -835,3 +835,33 @@ class TestBucketRatchet:
                                        floor={"dist": 2048})
         assert big.dist.i.shape[1] == 2048
         assert small.dist.i.shape[1] <= 2048
+
+
+class TestFoldChainsBucketing:
+    def test_pad_to_and_identity_dedup(self):
+        """fold_chains pads lanes to a length bucket (padded residues
+        masked out of every term) and compiles restraints once per UNIQUE
+        npz object (the driver replicates one dict per stream)."""
+        from trx2dy.physics.folder import fold_chains
+        L = 14
+        seq = "ARNDCQEGHILKMF"
+        shared = _rand_npz(L, key=101)
+        calls = []
+        import trx2dy.physics.folder as F
+        F_orig = F.compile_restraints
+
+        def spy(*a, **k):
+            calls.append(1)
+            return F_orig(*a, **k)
+
+        F.compile_restraints = spy
+        try:
+            fr = fold_chains([shared, shared, shared], seq,
+                             jax.random.PRNGKey(0), max_iter=10,
+                             fastrelax=False, pad_to=16, candidates=2)
+        finally:
+            F.compile_restraints = F_orig
+        assert len(calls) == 1          # one unique npz -> one compile
+        assert fr.torsions.shape == (3, 3, L)
+        assert fr.atoms["CA"].shape == (3, L, 3)
+        assert np.isfinite(np.asarray(fr.energy)).all()

@@ -65,7 +65,9 @@ def main(argv=None) -> None:
         # reference contract: relaxed poses are dumped FULL-ATOM
         # (fa_standard switch + dump_pdb, folding.py:220,273)
         from trx2dy.physics.sidechain import pack_and_write
-        pack_and_write(paths, seq, res.torsions)
+        # backbone=res.atoms keeps the cartesian-refined coordinates —
+        # rebuilding from torsions would silently discard the refinement
+        pack_and_write(paths, seq, res.torsions, backbone=res.atoms)
     else:
         atoms = {k: np.asarray(v) for k, v in res.atoms.items()}
         for b, out in enumerate(paths):

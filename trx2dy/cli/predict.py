@@ -53,11 +53,15 @@ def main(argv=None) -> None:
     if len(msa) > 1.1 * args.nrows:
         # reference contract (predict.py:141-147): the filtered MSA is a
         # reusable on-disk artifact filter{nrows}.a3m in out_dir
-        from trx2dy.io.msa_filter import filter_msa_diff, write_filtered_a3m
+        from trx2dy.io.msa_filter import (hhfilter_diff_indices,
+                                          write_filtered_a3m)
         a3m_filtered = os.path.join(args.out_dir, f"filter{args.nrows}.a3m")
         if not os.path.isfile(a3m_filtered):
+            # the artifact gets hhfilter's FULL accepted set (which may
+            # exceed nrows, exactly like the binary's output file); the
+            # nrows cap happens at parse time (predict.py:146)
             write_filtered_a3m(args.msa, a3m_filtered,
-                               filter_msa_diff(msa, args.nrows))
+                               hhfilter_diff_indices(msa, args.nrows))
         msa_filtered = parse_a3m(a3m_filtered, limit=args.nrows)
     else:
         msa_filtered = msa

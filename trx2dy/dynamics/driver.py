@@ -93,9 +93,11 @@ class DynamicsConfig:
     # centroid (backbone + CB).
     full_atom: Optional[bool] = None
     # energy-gated decoy selection (TPU redesign, not in the reference):
-    # oversample folds ceil(N*(1+x)) lanes and keeps the N lowest-energy;
-    # chain_candidates folds that many lanes per dampening chain and keeps
-    # the best. Culls the ~15-20% trapped-topology minimizations whose final
+    # oversample folds ceil(N*(1+x)) lanes and keeps the N lowest-energy
+    # (the SEQUENTIAL sampler's fold_ensemble calls); the chains/combined
+    # paths gate via chain_candidates instead — every lane there, initial
+    # ensembles included, folds that many candidates and keeps the best.
+    # Culls the ~15-20% trapped-topology minimizations whose final
     # energy sits far above the good band (corr(E, TM) ~ -0.95 measured).
     oversample: float = 0.25
     chain_candidates: int = 2
@@ -163,9 +165,15 @@ def generate_ensemble(pdb_name: str, processed_npz_dir: str,
         return _generate_ensemble_chains(pdb_name, processed_npz_dir,
                                          pred_pdb_dir, initial_npz, seq,
                                          cfg, key, begin_num, trace)
-    # an in-progress tmp_npz tree routes to the sequential sampler, whose
+    # An in-progress tmp_npz tree routes to the sequential sampler, whose
     # per-file resume contract is exact (run_inference.py:100-102); the
-    # batched chains path has no notion of partially-produced iterations
+    # batched chains path has no notion of partially-produced iterations.
+    # This is sound even for a tree an interrupted CHAINS run left behind:
+    # the sequential loop re-folds each saved iteration file from ITS OWN
+    # histograms (not the previous decoy's), so every replayed decoy still
+    # draws from a legitimate dampened state; past the last file the run
+    # continues as one chain from the latest state (chain provenance is
+    # recorded in traces.jsonl; the npz key set is a parity surface).
     trace = trace or TraceWriter(None)
     os.makedirs(processed_npz_dir, exist_ok=True)
     os.makedirs(pred_pdb_dir, exist_ok=True)
@@ -233,6 +241,8 @@ def flatten_directory(parent: str) -> None:
     (run_inference.py:145-168 move_and_delete_subfolders)."""
     for root, dirs, files in os.walk(parent, topdown=False):
         for name in files:
+            if name.startswith("."):
+                continue        # provisional/hidden files never ship
             src = os.path.join(root, name)
             dst = os.path.join(parent, name)
             if src == dst:
@@ -266,8 +276,8 @@ def rename_to_conf(folder: str, num_conf1_others: int) -> None:
     init_x, init_x1, others = [], [], []
     max_c1 = max_c2 = max_proj_c1 = 0
     for fn in os.listdir(folder):
-        if not fn.lower().endswith(".pdb"):
-            continue
+        if not fn.lower().endswith(".pdb") or fn.startswith("."):
+            continue   # dotfiles = provisional/hidden, never decoys
         if (m := pat_c1.match(fn)):
             max_c1 = max(max_c1, int(m.group(1)))
         elif (m := pat_c2.match(fn)):
@@ -414,9 +424,24 @@ class _AsyncIO:
         for f in futs:
             f.result()
 
-    def close(self):
-        self.drain()
-        self._ex.shutdown()
+    def check(self):
+        """Re-raise from any already-completed write WITHOUT blocking —
+        called once per sampling step so a failing disk surfaces after one
+        step, not after the whole multi-hour run."""
+        done = [f for f in self._futs if f.done()]
+        self._futs = [f for f in self._futs if not f.done()]
+        for f in done:
+            f.result()
+
+    def close(self, raise_errors: bool = True):
+        try:
+            self.drain()
+        except BaseException:
+            self._ex.shutdown(wait=False)
+            if raise_errors:
+                raise
+        else:
+            self._ex.shutdown()
 
 
 def _stack_hists(hists) -> GeomHistograms:
@@ -481,6 +506,12 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     for s in streams:
         os.makedirs(s.npz_dir, exist_ok=True)
         os.makedirs(s.pdb_dir, exist_ok=True)
+        # stale provisional files from an interrupted earlier run must not
+        # survive into this run's rename pass
+        for d in (s.npz_dir, s.pdb_dir):
+            for f in os.listdir(d):
+                if f.startswith(".tmp_s"):
+                    os.remove(os.path.join(d, f))
     io = _AsyncIO()
 
     def hist_npz(h: GeomHistograms) -> dict:
@@ -510,16 +541,24 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                 io.submit(write_pdb_backbone, path, seq,
                           {a: v[lane] for a, v in atoms_np.items()})
 
+    pad_to = None
+    if cfg.len_bucket:
+        pad_to = -(-len(seq) // cfg.len_bucket) * cfg.len_bucket
+
     # ---- initial ensembles: ALL streams' initial decoys in one program --
     key, k_init = jax.random.split(key)
-    init_npzs = [hist_npz(s.hist) for s in streams for _ in range(N)]
+    # ONE dict per stream, replicated by reference: fold_chains dedups
+    # restraint compilation by object identity
+    stream_npzs = [hist_npz(s.hist) for s in streams]
+    init_npzs = [stream_npzs[i] for i in range(M) for _ in range(N)]
     # pair-bucket ratchet: ONE compiled shape per fold program across all
     # dampening steps (mask drift otherwise recompiles minutes per step)
     floors: dict = {}
     fr = fold_chains(init_npzs, seq, k_init, mode=cfg.mode,
                      use_orient=cfg.angle, fastrelax=cfg.fastrelax,
                      max_iter=cfg.max_iter, candidates=cfg.chain_candidates,
-                     bucket_floors=floors)
+                     bucket_floors=floors, pad_to=pad_to,
+                     **cfg.fold_kwargs)
     init_lanes = list(range(M * N))
     init_paths = [os.path.join(streams[i].pdb_dir, f"initial{j}.pdb")
                   for i in range(M) for j in range(N)]
@@ -574,6 +613,8 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
         return path
 
     def save_hist_npz(path, hist_np):
+        # exact reference key set (tmp_npz layout is a parity surface);
+        # chain provenance lives in traces.jsonl instead
         np.savez_compressed(path, **hist_np)
 
     chains_np = {f: np.asarray(getattr(chains, f))
@@ -583,55 +624,63 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                   {f: chains_np[f][i * K] for f in GeomHistograms._fields})
 
     # ---- the batched sampling loop -------------------------------------
-    while True:
-        writing = np.zeros((M, K), bool)
-        budget = [cfg.Nmax - produced[i] for i in range(M)]
-        for i in range(M):
-            act = np.where(active[i])[0]
-            writing[i, act[:max(0, budget[i])]] = True
-        if not writing.any():
-            break
-        key, k_it = jax.random.split(key)
-        npzs = [{f: chains_np[f][c]
-                 for f in ("dist", "omega", "theta", "phi")}
-                for c in range(C)]
-        fr = fold_chains(npzs, seq, k_it, mode=cfg.mode,
-                         use_orient=cfg.angle, fastrelax=cfg.fastrelax,
-                         max_iter=cfg.max_iter,
-                         candidates=cfg.chain_candidates,
-                         bucket_floors=floors)
+    try:
+        while True:
+            io.check()           # surface write failures after ONE step
+            writing = np.zeros((M, K), bool)
+            budget = [cfg.Nmax - produced[i] for i in range(M)]
+            for i in range(M):
+                act = np.where(active[i])[0]
+                writing[i, act[:max(0, budget[i])]] = True
+            if not writing.any():
+                break
+            key, k_it = jax.random.split(key)
+            npzs = [{f: chains_np[f][c]
+                     for f in ("dist", "omega", "theta", "phi")}
+                    for c in range(C)]
+            fr = fold_chains(npzs, seq, k_it, mode=cfg.mode,
+                             use_orient=cfg.angle,
+                             fastrelax=cfg.fastrelax,
+                             max_iter=cfg.max_iter,
+                             candidates=cfg.chain_candidates,
+                             bucket_floors=floors, pad_to=pad_to,
+                             **cfg.fold_kwargs)
 
-        lanes, paths, rows = [], [], []
-        for i in range(M):
-            for k in range(K):
-                if not writing[i, k]:
-                    continue
-                produced[i] += 1
-                lanes.append(i * K + k)
-                paths.append(pdb_name_for(i, produced[i]))
-                rows.append((i, k, produced[i]))
-        write_decoys(fr, lanes, paths)
+            lanes, paths, rows = [], [], []
+            for i in range(M):
+                for k in range(K):
+                    if not writing[i, k]:
+                        continue
+                    produced[i] += 1
+                    lanes.append(i * K + k)
+                    paths.append(pdb_name_for(i, produced[i]))
+                    rows.append((i, k, produced[i]))
+            write_decoys(fr, lanes, paths)
 
-        a = fr.atoms
-        adv = np.zeros((C,), bool)
-        adv[lanes] = True
-        chains, delta = _chain_update_batch(
-            chains, a["N"], a["CA"], a["C"], a["CB"],
-            jnp.asarray(adv), cfg.sigma, cfg.angle)
-        delta_np = np.asarray(delta)
-        chains_np = {f: np.asarray(getattr(chains, f))
-                     for f in GeomHistograms._fields}
-        e_np = np.asarray(fr.energy)
-        for (i, k, num) in rows:
-            c = i * K + k
-            io.submit(save_hist_npz, npz_name(i, num + 1),
-                      {f: chains_np[f][c] for f in GeomHistograms._fields})
-            trace.write(decoy=f"{pdb_name}{num}", kind="chain",
-                        model=streams[i].tag, chain=k,
-                        energy=float(e_np[c]), delta=float(delta_np[c]))
-            if delta_np[c] < CONVERGE_TOL:
-                active[i, k] = False
+            a = fr.atoms
+            adv = np.zeros((C,), bool)
+            adv[lanes] = True
+            chains, delta = _chain_update_batch(
+                chains, a["N"], a["CA"], a["C"], a["CB"],
+                jnp.asarray(adv), cfg.sigma, cfg.angle)
+            delta_np = np.asarray(delta)
+            chains_np = {f: np.asarray(getattr(chains, f))
+                         for f in GeomHistograms._fields}
+            e_np = np.asarray(fr.energy)
+            for (i, k, num) in rows:
+                c = i * K + k
+                io.submit(save_hist_npz, npz_name(i, num + 1),
+                          {f: chains_np[f][c]
+                           for f in GeomHistograms._fields})
+                trace.write(decoy=f"{pdb_name}{num}", kind="chain",
+                            model=streams[i].tag, chain=k,
+                            energy=float(e_np[c]), delta=float(delta_np[c]))
+                if delta_np[c] < CONVERGE_TOL:
+                    active[i, k] = False
 
+    except Exception:
+        io.close(raise_errors=False)  # keep the loop's error
+        raise
     io.close()
 
     # resolve provisional names now that every stream's count is known

@@ -641,7 +641,8 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
                 candidates: int = 1,
                 detect_disulf: bool = True,
                 bucket_floors: Optional[dict] = None,
-                cart_refine: bool = True) -> FoldResult:
+                cart_refine: bool = True,
+                pad_to: Optional[int] = None) -> FoldResult:
     """Fold ONE decoy per chain, each chain with its OWN restraint set.
 
     The TPU-native throughput axis for the Dynamics sampler: K independent
@@ -653,7 +654,8 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
     lowest-energy one — the chain analog of fold_ensemble's oversample
     (culls trapped-topology decoys that would poison the dampening chain).
     """
-    L = len(seq)
+    L_true = len(seq)
+    L = L_true
     K = len(npz_list)
     if candidates > 1 and x0 is not None:
         raise ValueError(
@@ -661,25 +663,48 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
             "random inits per chain; explicit torsions would fold the same "
             "start candidate times with no best-of selection")
     pcut = params.PCUT if pcut is None else pcut
-    # compile restraints / masks ONCE per unique chain, then replicate per
-    # candidate lane (the tables are identical across a chain's candidates)
-    rsts = [compile_restraints(npz, params, use_orient=use_orient)
-            for npz in npz_list]
+    # compile restraints / masks ONCE per UNIQUE npz dict, then fan out:
+    # callers that replicate one histogram set across lanes (the driver's
+    # initial ensembles) would otherwise redo the O(L^2) host spline
+    # fitting per lane. Uniqueness is by object identity (checked BEFORE
+    # padding, which copies) — per-chain dampened histograms are distinct
+    # objects and compile individually.
+    uniq: dict = {}
+    lane_of = []
+    for npz in npz_list:
+        if id(npz) not in uniq:
+            uniq[id(npz)] = (len(uniq), npz)
+        lane_of.append(uniq[id(npz)][0])
+    u_npzs = [npz for _, npz in uniq.values()]
+    res_mask = None
+    if pad_to is not None and pad_to > L:
+        # length bucketing (same contract as fold_ensemble): zero-padded
+        # histograms never activate restraints; padded residues are masked
+        # out of every energy term via res_mask
+        u_npzs = [pad_npz(npz, L, pad_to) for npz in u_npzs]
+        seq = seq + "A" * (pad_to - L)
+        res_mask = jnp.arange(pad_to) < L
+        L = pad_to
+    u_rsts = [compile_restraints(npz, params, use_orient=use_orient)
+              for npz in u_npzs]
     if detect_disulf:
-        for idx, npz in enumerate(npz_list):
+        for idx, npz in enumerate(u_npzs):
             ss = disulfide_pairs(np.asarray(npz["dist"]), seq)
             if len(ss):
-                rsts[idx] = add_disulfide_restraints(rsts[idx], ss)
-    stage_masks = [_stage_masks_centroid(r, seq, mode, pcut) for r in rsts]
-    n_stages = len(stage_masks[0])
-    r1_masks = [restraint_masks(r, seq, 1, L, pcut=0.15, nogly=True)
-                for r in rsts]
-    r2_masks = [restraint_masks(r, seq, 1, L, pcut=0.30, nogly=True)
-                for r in rsts]
-    if candidates > 1:
-        dup = lambda xs: [x for x in xs for _ in range(candidates)]
-        rsts, stage_masks = dup(rsts), dup(stage_masks)
-        r1_masks, r2_masks = dup(r1_masks), dup(r2_masks)
+                u_rsts[idx] = add_disulfide_restraints(u_rsts[idx], ss)
+    u_stage_masks = [_stage_masks_centroid(r, seq, mode, pcut)
+                     for r in u_rsts]
+    n_stages = len(u_stage_masks[0])
+    u_r1 = [restraint_masks(r, seq, 1, L, pcut=0.15, nogly=True)
+            for r in u_rsts]
+    u_r2 = [restraint_masks(r, seq, 1, L, pcut=0.30, nogly=True)
+            for r in u_rsts]
+    reps = candidates if candidates > 1 else 1
+    fan = [u for u in lane_of for _ in range(reps)]
+    rsts = [u_rsts[u] for u in fan]
+    stage_masks = [u_stage_masks[u] for u in fan]
+    r1_masks = [u_r1[u] for u in fan]
+    r2_masks = [u_r2[u] for u in fan]
 
     from trx2dy.physics.compact import compact_restraints_lanes
 
@@ -710,7 +735,8 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
 
     x, f = _protocol_staged(x0, None, stages, relax1, relax2,
                             fastrelax=fastrelax, max_iter=max_iter,
-                            dist_on_ca=False, multi_rst=True)
+                            dist_on_ca=False, multi_rst=True,
+                            res_mask=res_mask)
     if M > K:
         # lanes k*candidates .. k*candidates+c-1 belong to chain k
         f_np = np.asarray(f).reshape(K, -1)
@@ -727,5 +753,8 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
         from trx2dy.physics.cartmin import cartesian_refine_lanes
         cl = jax.tree.map(lambda a: a[jnp.asarray(pick)], relax2)
         atoms, _ = cartesian_refine_lanes(atoms, cl, SCOREFXN_RELAX,
-                                          max_iter=200)
+                                          max_iter=200, res_mask=res_mask)
+    t = t[:, :, :L_true]
+    if L_true < L:
+        atoms = {k: v[:, :L_true] for k, v in atoms.items()}
     return FoldResult(torsions=t, energy=f, atoms=atoms)
