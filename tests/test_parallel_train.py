@@ -303,7 +303,8 @@ bad = [(s, sh) for s, sh in recorded
 assert not bad, f"{{len(bad)}} chunk outputs lost dp sharding: {{bad[:3]}}"
 sizes = {{s for s, _ in recorded}}
 assert len(sizes) > 1, f"compaction repack never triggered: {{sizes}}"
-for name, a in [("torsions", res.torsions), ("energy", res.energy)]:
+for name, a in [("torsions", res.torsions), ("energy", res.energy),
+                ("atoms.CA", res.atoms["CA"])]:
     sh = a.sharding
     assert isinstance(sh, jax.sharding.NamedSharding) and \
         sh.spec[0] == "dp", f"final {{name}} de-sharded: {{sh}}"
