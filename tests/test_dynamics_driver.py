@@ -389,3 +389,36 @@ class TestTraces:
         assert len(init_rows) == 2
         assert sum(r["selected_seed"] for r in init_rows) == 1
         assert all(np.isfinite(r["energy"]) for r in rows)
+
+
+class TestAsyncIO:
+    def test_check_surfaces_completed_errors_without_blocking(self):
+        import time
+        from trx2dy.dynamics.driver import _AsyncIO
+        io = _AsyncIO()
+
+        def boom():
+            raise IOError("disk full")
+
+        io.submit(boom)
+        time.sleep(0.2)
+        with pytest.raises(IOError):
+            io.check()
+        io.close()
+
+    def test_close_noraise_keeps_loop_error(self):
+        import time
+        from trx2dy.dynamics.driver import _AsyncIO
+        io = _AsyncIO()
+        io.submit(lambda: 1 / 0)
+        time.sleep(0.2)
+        io.close(raise_errors=False)      # must NOT raise
+
+    def test_ordered_writes_complete(self, tmp_path):
+        from trx2dy.dynamics.driver import _AsyncIO
+        io = _AsyncIO()
+        for i in range(8):
+            io.submit((tmp_path / f"f{i}.txt").write_text, str(i))
+        io.close()
+        assert sorted(p.name for p in tmp_path.iterdir()) == \
+            [f"f{i}.txt" for i in range(8)]
