@@ -85,6 +85,11 @@ def main(argv=None) -> None:
     toks = jnp.asarray(mymsa_to_esmmsa(msa_filtered))
     emb = esm_msa_apply_jit(esm_params, toks, repr_layers=(12,),
                         need_head_weights=True, row_chunk=args.row_chunk)
+    if float(jnp.max(jnp.abs(emb["representations"][12]))) == 0.0 or \
+            float(jnp.max(jnp.abs(emb["row_attentions"]))) == 0.0:
+        # reference guard (predict.py:168-169)
+        raise ValueError("ESM-MSA fails to generate embeddings! Please "
+                         f"check the input MSA file: {args.msa}.")
 
     out = folding_apply_jit(model_params, raw_seq, toks,
                         emb["representations"][12], emb["row_attentions"],
