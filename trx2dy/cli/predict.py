@@ -58,10 +58,12 @@ def main(argv=None) -> None:
         a3m_filtered = os.path.join(args.out_dir, f"filter{args.nrows}.a3m")
         if not os.path.isfile(a3m_filtered):
             # the artifact gets hhfilter's FULL accepted set (which may
-            # exceed nrows, exactly like the binary's output file); the
+            # exceed nrows, exactly like the binary's output file — hence
+            # exact=True, disabling the sweep's prefix early-exit); the
             # nrows cap happens at parse time (predict.py:146)
             write_filtered_a3m(args.msa, a3m_filtered,
-                               hhfilter_diff_indices(msa, args.nrows))
+                               hhfilter_diff_indices(msa, args.nrows,
+                                                     exact=True))
         msa_filtered = parse_a3m(a3m_filtered, limit=args.nrows)
     else:
         msa_filtered = msa

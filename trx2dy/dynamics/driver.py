@@ -669,9 +669,13 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
             e_np = np.asarray(fr.energy)
             for (i, k, num) in rows:
                 c = i * K + k
-                io.submit(save_hist_npz, npz_name(i, num + 1),
-                          {f: chains_np[f][c]
-                           for f in GeomHistograms._fields})
+                if num < cfg.Nmax:
+                    # sequential parity: generate_ensemble breaks at Nmax
+                    # BEFORE saving, so the resume tree ends at index Nmax
+                    # — don't save a trailing Nmax+1 state here either
+                    io.submit(save_hist_npz, npz_name(i, num + 1),
+                              {f: chains_np[f][c]
+                               for f in GeomHistograms._fields})
                 trace.write(decoy=f"{pdb_name}{num}", kind="chain",
                             model=streams[i].tag, chain=k,
                             energy=float(e_np[c]), delta=float(delta_np[c]))

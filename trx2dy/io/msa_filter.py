@@ -23,6 +23,8 @@ N-target scale for the accepted cutoff.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 GAP = 20                       # a3m token for gap/unknown (io.a3m)
@@ -72,9 +74,22 @@ def _greedy_max_id(msa: np.ndarray, nongap: np.ndarray, lens: np.ndarray,
     return kept_idx[:k], ok
 
 
-def hhfilter_diff_indices(msa: np.ndarray, n_keep: int) -> np.ndarray:
+def hhfilter_diff_indices(msa: np.ndarray, n_keep: int,
+                          exact: bool = False) -> np.ndarray:
     """hhfilter `-diff n_keep`: the accepted-cutoff kept set (may exceed
-    n_keep, exactly like the binary's output file)."""
+    n_keep, exactly like the binary's output file).
+
+    By default the sweep early-exits once a cutoff's kept set reaches
+    n_keep rows with block coverage satisfied, so the result is the exact
+    PREFIX of the binary's accepted set — at least n_keep rows, identical
+    under the first-n_keep parse truncation, but possibly shorter than the
+    binary's full output file. Pass exact=True to re-run the greedy filter
+    at the accepted cutoff without the early exit, reproducing the FULL
+    accepted set (what the binary writes to disk) — used when the result
+    feeds a reusable on-disk artifact (predict.py's filter{nrows}.a3m).
+    The extra cost is one unbounded greedy pass at the single accepted
+    cutoff, not at every cutoff in the sweep.
+    """
     msa = np.asarray(msa)
     N, L = msa.shape
     if N <= n_keep:
@@ -94,10 +109,15 @@ def hhfilter_diff_indices(msa: np.ndarray, n_keep: int) -> np.ndarray:
         cand, ok = _greedy_max_id(msa, nongap, lens, cutoff,
                                   cover=cover, need=need, early_min=n_keep)
         if ok:
+            if exact and len(cand) < N:
+                # full accepted set at this cutoff (early exit off)
+                cand, _ = _greedy_max_id(msa, nongap, lens, cutoff)
             return cand
     # No cutoff met the per-block coverage target. HH-suite still emits the
     # max-cutoff (90%) filtered set in this case — keep ITS rows rather
     # than falling back to the unfiltered (near-duplicate) input order.
+    # (The early exit cannot have fired without coverage, so this set is
+    # already the complete 90%-cutoff filter.)
     return cand
 
 
@@ -157,6 +177,10 @@ def write_filtered_a3m(src_path: str, dst_path: str, indices,
         if row >= limit:
             break
     out.sort(key=lambda t: t[0])
-    with open(dst_path, "w") as f:
+    # atomic publish: a crash mid-write must not leave a partial artifact
+    # that later runs silently reuse (predict.py gates on isfile)
+    tmp_path = dst_path + ".tmp"
+    with open(tmp_path, "w") as f:
         for _, h, s in out:
             f.write(h + "\n" + s + "\n")
+    os.replace(tmp_path, dst_path)
