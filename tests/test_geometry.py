@@ -142,6 +142,34 @@ def test_geometry_maps_and_binning_match_reference_semantics():
     assert np.all(np.asarray(hist["dist"])[np.arange(L), np.arange(L), 0] == 1)
 
 
+def test_geometry_maps_diagonal_gradient_finite():
+    """Regression: the pairwise distance in geometry_maps_6d must keep a
+    FINITE gradient through the i==i diagonal (zero difference vector).
+    The epsilon belongs under the sqrt, not added to the vector — the old
+    `norm(cb_i - cb_j + eps)` form biased every distance and was the exact
+    pattern energy.py's own comment warns against."""
+    L = 10
+    rng = np.random.default_rng(4)
+    phi = jnp.asarray(rng.uniform(-np.pi, np.pi, L))
+
+    def loss(p):
+        coords = build_backbone(p, jnp.zeros(L), jnp.full((L,), np.pi))
+        maps = geometry_maps_6d(coords["N"], coords["CA"], coords["C"])
+        # sum of the raw distance map, diagonal included
+        return jnp.sum(maps["dist"])
+
+    g = jax.grad(loss)(phi)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # and the distances themselves are unbiased: d(i,j) == |cb_i - cb_j|
+    coords = build_backbone(phi, jnp.zeros(L), jnp.full((L,), np.pi))
+    maps = geometry_maps_6d(coords["N"], coords["CA"], coords["C"])
+    cb = np.asarray(virtual_cb(coords["N"], coords["CA"], coords["C"]))
+    want = np.linalg.norm(cb[:, None] - cb[None, :], axis=-1)
+    np.testing.assert_allclose(np.asarray(maps["dist"]), want,
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_virtual_cb_close_to_real_cb_geometry():
     # virtual CB should sit ~1.53 A from CA
     L = 6

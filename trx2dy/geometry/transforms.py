@@ -87,7 +87,10 @@ def geometry_maps_6d(n, ca, c, cb=None, dmax: float = 20.0, atom_mask=None):
     if cb is None:
         cb = virtual_cb(n, ca, c)
 
-    d = jnp.linalg.norm(cb[:, None, :] - cb[None, :, :] + _EPS, axis=-1)
+    # epsilon under the sqrt (not added to the vector): keeps the diagonal
+    # gradient finite without biasing off-diagonal distances
+    d2 = jnp.sum((cb[:, None, :] - cb[None, :, :]) ** 2, axis=-1)
+    d = jnp.sqrt(d2 + _EPS ** 2)
     eye = jnp.eye(L, dtype=bool)
     mask = (d <= dmax) & ~eye
     if atom_mask is not None:

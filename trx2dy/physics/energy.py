@@ -303,8 +303,10 @@ def pose_energy_weighted(torsions: jnp.ndarray, rst: RestraintSet,
     dist = g["dist"]
     if dist_on_ca:
         ca = atoms["CA"]
-        dist = jnp.linalg.norm(ca[:, None, :] - ca[None, :, :] + 1e-8,
-                               axis=-1)
+        # epsilon under the sqrt (not added to the vector): finite diagonal
+        # gradient without biasing distances, same as pose_energy's af2 path
+        d2 = jnp.sum((ca[:, None, :] - ca[None, :, :]) ** 2, axis=-1)
+        dist = jnp.sqrt(d2 + 1e-12)
     e = e + restraint_energy(rst, masks, dist, g["omega"], g["theta"],
                              g["phi"], w["atom_pair"], w["dihedral"],
                              w["angle"])
