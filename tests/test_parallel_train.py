@@ -308,6 +308,14 @@ for name, a in [("torsions", res.torsions), ("energy", res.energy),
     sh = a.sharding
     assert isinstance(sh, jax.sharding.NamedSharding) and \
         sh.spec[0] == "dp", f"final {{name}} de-sharded: {{sh}}"
+# the full-atom emit path: packed atom14 keeps the dp batch sharding
+from trx2dy.physics.sidechain import pack_ensemble
+with mesh:
+    xyz14, _, _ = pack_ensemble(res.torsions, seq, max_iter=3,
+                                backbone=res.atoms)
+sh = xyz14.sharding
+assert isinstance(sh, jax.sharding.NamedSharding) and \
+    sh.spec[0] == "dp", f"packed atom14 de-sharded: {{sh}}"
 print("SHARD_PRESERVE_OK", len(recorded), sorted(sizes))
 """
 

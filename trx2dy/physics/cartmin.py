@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -32,11 +33,11 @@ from trx2dy.geometry.nerf import (
 )
 from trx2dy.geometry.transforms import virtual_cb, backbone_torsions
 from trx2dy.physics.energy import (
-    EnergyWeights, vdw_energy, hbond_energy, rama_energy,
-    omega_planarity_energy, pairwise_geometry,
+    EnergyWeights, WEIGHT_FIELDS, weights_to_vec, vdw_energy, hbond_energy,
+    rama_energy, omega_planarity_energy, pairwise_geometry,
 )
 from trx2dy.physics.restraints import restraint_energy
-from trx2dy.physics.minimize import lbfgs_minimize
+from trx2dy.physics.minimize import lbfgs_minimize, lbfgs_init, lbfgs_run
 
 _ATOMS = ("N", "CA", "C", "O", "CB")
 
@@ -116,18 +117,25 @@ def _centroid_terms(atoms: dict, w: EnergyWeights, res_mask=None):
     return e
 
 
-@functools.partial(jax.jit, static_argnames=("w_tuple", "max_iter", "kind",
-                                             "dist_on_ca"))
-def _refine_jit(atoms0, tables, w_tuple, max_iter, kind,
-                dist_on_ca=False, res_mask=None):
-    """Tables are ARGUMENTS (not closure constants) so the dynamics
-    sampler's per-step table changes reuse ONE compiled program."""
-    w = EnergyWeights(*w_tuple)
+def _delta_unpack(atoms0: dict, delta):
+    """(B, 5*L*3) flat displacement vector -> displaced atoms dict."""
     B, L, _ = atoms0["N"].shape
+    d = delta.reshape(B, len(_ATOMS), L, 3)
+    return {nm: atoms0[nm] + d[:, i] for i, nm in enumerate(_ATOMS)}
 
-    def unpack(delta):
-        d = delta.reshape(B, len(_ATOMS), L, 3)
-        return {nm: atoms0[nm] + d[:, i] for i, nm in enumerate(_ATOMS)}
+
+def _cart_efun(atoms0: dict, tables, w_vec, kind: str,
+               dist_on_ca: bool = False, res_mask=None):
+    """delta -> (B,) total cartesian-refinement energy, with the score
+    weights as a TRACED (9,) vector (energy.pose_energy_weighted's trick):
+    one compiled program serves every ramp stage of the cartesian FastRelax
+    schedule AND the final refinement, for all weight settings.
+
+    kind selects the restraint formulation (mirrors folder._weighted_fun):
+    "dense" tables=(rst, masks); "compact" a CompactRestraints (shared
+    tables, batch-major matmul selection); "lanes" a CompactLanes (chain
+    mode, per-lane tables)."""
+    w = dict(zip(WEIGHT_FIELDS, w_vec))
 
     def restraints_b(atoms_b):
         if kind == "dense":
@@ -135,24 +143,166 @@ def _refine_jit(atoms0, tables, w_tuple, max_iter, kind,
             def one(at):
                 g = pairwise_geometry(at)
                 return restraint_energy(rst, masks, g["dist"], g["omega"],
-                                        g["theta"], g["phi"], w.atom_pair,
-                                        w.dihedral, w.angle)
+                                        g["theta"], g["phi"], w["atom_pair"],
+                                        w["dihedral"], w["angle"])
             return jax.vmap(one)(atoms_b)
-        from trx2dy.physics.compact import compact_restraint_energy_lanes
-        return compact_restraint_energy_lanes(
-            atoms_b, tables, w.atom_pair, w.dihedral, w.angle,
+        if kind == "lanes":
+            from trx2dy.physics.compact import compact_restraint_energy_lanes
+            return compact_restraint_energy_lanes(
+                atoms_b, tables, w["atom_pair"], w["dihedral"], w["angle"],
+                dist_on_ca=dist_on_ca)
+        from trx2dy.physics.compact import compact_restraint_energy_batch
+        return compact_restraint_energy_batch(
+            atoms_b, tables, w["atom_pair"], w["dihedral"], w["angle"],
             dist_on_ca=dist_on_ca)
 
-    def efun(delta):
-        atoms = unpack(delta)
-        cen = jax.vmap(
-            lambda at: _centroid_terms(at, w, res_mask)
-            + cart_bonded_energy(at, res_mask=res_mask))(atoms)
-        return cen + restraints_b(atoms)
+    def centroid_one(at):
+        # every term always computed (weights are data, cf. the staged
+        # folder); zero weights contribute zero
+        e = w["vdw"] * vdw_energy(at, res_mask)
+        (phi, psi, omg), _ = backbone_torsions(at["N"], at["CA"], at["C"])
+        e = e + w["rama"] * rama_energy(phi, psi, res_mask)
+        e = e + w["omega"] * omega_planarity_energy(omg, res_mask)
+        e = e + hbond_energy(at, w["cen_hb"] + w["hbond_sr"],
+                             w["cen_hb"] + w["hbond_lr"], res_mask)
+        return e + cart_bonded_energy(at, res_mask=res_mask)
 
+    def efun(delta):
+        atoms = _delta_unpack(atoms0, delta)
+        return jax.vmap(centroid_one)(atoms) + restraints_b(atoms)
+
+    return efun
+
+
+# Idealize pass (the reference's IdealizeMover fallback,
+# folding/folding.py:237-268: poses whose cart_bonded exceeds a threshold
+# are re-idealized). Rosetta's mover is expensive and destructive, so the
+# reference gates it; our substitute is a short TETHERED minimization of
+# cart_bonded alone — residual bond/angle strain snaps back to ideal while
+# the tether pins coordinates to the refined pose (sub-0.2 A movements),
+# so it runs unconditionally as part of the compiled refinement. The
+# bonded stiffnesses are scaled up 10x against the tether so the residual
+# relaxes to ~1% of the strain for bonds and ~10% for angles (an angle
+# deviation's restoring force competes with the tether through the ~1.5 A
+# lever arm of the atoms it moves: at the base k_angle=80/rad^2 the two
+# nearly cancel and angles stay strained).
+IDEALIZE_ITERS = 50
+IDEALIZE_SCALE = 10.0
+K_TETHER = 30.0    # per A^2 per atom, toward the refined coordinates
+
+
+def _idealize(atoms0, delta, res_mask=None, iters: int = IDEALIZE_ITERS):
+    def ideal_fun(d):
+        atoms = _delta_unpack(atoms0, d)
+        e = jax.vmap(lambda at: cart_bonded_energy(
+            at, k_bond=IDEALIZE_SCALE * K_BOND,
+            k_angle=IDEALIZE_SCALE * K_ANGLE, res_mask=res_mask))(atoms)
+        return e + K_TETHER * jnp.sum((d - delta) ** 2, axis=-1)
+    return lbfgs_minimize(ideal_fun, delta, max_iter=iters).x
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "kind",
+                                             "dist_on_ca"))
+def _refine_jit(atoms0, tables, w_vec, max_iter, kind,
+                dist_on_ca=False, res_mask=None):
+    """Tables AND weights are arguments (not closure constants) so the
+    dynamics sampler's per-step table changes reuse ONE compiled program."""
+    B, L, _ = atoms0["N"].shape
+    efun = _cart_efun(atoms0, tables, w_vec, kind, dist_on_ca, res_mask)
     res = lbfgs_minimize(efun, jnp.zeros((B, len(_ATOMS) * L * 3)),
                          max_iter=max_iter)
-    return unpack(res.x), res.f
+    x = _idealize(atoms0, res.x, res_mask)
+    return _delta_unpack(atoms0, x), res.f
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "dist_on_ca"))
+def _cart_init_jit(atoms0, delta0, tables, w_vec, kind,
+                   dist_on_ca=False, res_mask=None):
+    efun = _cart_efun(atoms0, tables, w_vec, kind, dist_on_ca, res_mask)
+    return lbfgs_init(efun, delta0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "kind", "dist_on_ca"))
+def _cart_run_jit(state, atoms0, tables, w_vec, chunk, kind,
+                  dist_on_ca=False, res_mask=None):
+    """One bounded chunk of the cartesian L-BFGS (remote-TPU RPC safety,
+    same rationale as folder._stage_run_jit)."""
+    efun = _cart_efun(atoms0, tables, w_vec, kind, dist_on_ca, res_mask)
+    return lbfgs_run(efun, state, max_iter=chunk)
+
+
+def _table_kind(tables) -> str:
+    from trx2dy.physics.compact import CompactRestraints, CompactLanes
+    if isinstance(tables, CompactLanes):
+        return "lanes"
+    if isinstance(tables, CompactRestraints):
+        return "compact"
+    return "dense"
+
+
+# chunk of cartesian L-BFGS iterations per device call; 50 divides every
+# stage of the reference ramp schedules (50/50/100/200) so ONE compiled
+# run program serves all of them
+CART_CHUNK = 50
+
+
+def cartesian_relax_block(atoms: dict, tables, w_stages,
+                          w_full_vec, dist_on_ca: bool = False,
+                          res_mask=None):
+    """One cartesian FastRelax repeat, host-orchestrated over chunked
+    compiled programs: ramp through w_stages = ((w_vec, iters), ...)
+    carrying the displacement vector, then accept_to_best against the
+    starting pose under the full weights (reference
+    folding/data/1relax_round1.txt:10-16 `switch:cartesian repeat 1` /
+    2relax_round2.txt's per-repeat accept_to_best semantics).
+
+    Returns (atoms dict, (B,) full-weight energies of the kept pose)."""
+    kind = _table_kind(tables)
+    B, L, _ = atoms["N"].shape
+    # the zero displacement start is committed to the SAME batch sharding
+    # as the incoming atoms: a fresh replicated array would pull the whole
+    # cartesian block onto one device of a dp-sharded fold
+    from trx2dy.physics.folder import _batch_sharder
+    put, _ = _batch_sharder(atoms["CA"])
+    delta = put(jnp.zeros((B, len(_ATOMS) * L * 3), atoms["CA"].dtype))
+    f0 = _cart_init_jit(atoms, delta, tables, w_full_vec, kind,
+                        dist_on_ca, res_mask).f
+    for w_vec, iters in w_stages:
+        st = _cart_init_jit(atoms, delta, tables, w_vec, kind,
+                            dist_on_ca, res_mask)
+        remaining = iters
+        while remaining > 0:
+            st = _cart_run_jit(st, atoms, tables, w_vec,
+                               min(CART_CHUNK, remaining), kind,
+                               dist_on_ca, res_mask)
+            remaining -= CART_CHUNK
+            if bool(np.asarray(jnp.all(st.done))):
+                break
+        delta = st.x
+    f1 = _cart_init_jit(atoms, delta, tables, w_full_vec, kind,
+                        dist_on_ca, res_mask).f
+    keep = np.asarray(f1) < np.asarray(f0)          # accept_to_best
+    delta = put(jnp.where(put(jnp.asarray(keep))[:, None], delta, 0.0))
+    return _delta_unpack(atoms, delta), jnp.minimum(f1, f0)
+
+
+def cartesian_relax_traced(atoms: dict, rst, masks, w_stages, w_full_vec,
+                           dist_on_ca: bool = False, res_mask=None):
+    """Traced (jit-inlinable) form of cartesian_relax_block for the
+    monolithic protocol path — dense tables, lbfgs_minimize per stage,
+    accept_to_best at the end."""
+    B, L, _ = atoms["N"].shape
+    delta = jnp.zeros((B, len(_ATOMS) * L * 3), atoms["CA"].dtype)
+    full = _cart_efun(atoms, (rst, masks), w_full_vec, "dense",
+                      dist_on_ca, res_mask)
+    f0 = full(delta)
+    for w_vec, iters in w_stages:
+        efun = _cart_efun(atoms, (rst, masks), w_vec, "dense",
+                          dist_on_ca, res_mask)
+        delta = lbfgs_minimize(efun, delta, max_iter=iters).x
+    f1 = full(delta)
+    delta = jnp.where((f1 < f0)[:, None], delta, 0.0)
+    return _delta_unpack(atoms, delta), jnp.minimum(f1, f0)
 
 
 def cartesian_refine(atoms: dict, rst, masks, w: EnergyWeights,
@@ -161,8 +311,8 @@ def cartesian_refine(atoms: dict, rst, masks, w: EnergyWeights,
     dense restraint set (fold_ensemble's shape).
 
     Returns (refined atoms dict, (B,) final energies incl. cart_bonded)."""
-    return _refine_jit(atoms, (rst, masks), tuple(w), max_iter, "dense",
-                       res_mask=res_mask)
+    return _refine_jit(atoms, (rst, masks), weights_to_vec(w), max_iter,
+                       "dense", res_mask=res_mask)
 
 
 def cartesian_refine_lanes(atoms: dict, cl, w: EnergyWeights,
@@ -171,5 +321,5 @@ def cartesian_refine_lanes(atoms: dict, cl, w: EnergyWeights,
     """Chain-mode refinement: lane k refines against its OWN compacted
     restraint tables (physics/compact.py CompactLanes — the relax-stage
     compact set fold_chains already builds)."""
-    return _refine_jit(atoms, cl, tuple(w), max_iter, "lanes",
+    return _refine_jit(atoms, cl, weights_to_vec(w), max_iter, "lanes",
                        dist_on_ca=dist_on_ca, res_mask=res_mask)

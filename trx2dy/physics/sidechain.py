@@ -261,8 +261,13 @@ def pack_ensemble(torsions, seq: str, max_iter: int = 150,
             cb = np.asarray(atoms["CB"]).mean(0)
         pairs = detect_disulfides(cb, seq)
     pairs = jnp.asarray(np.asarray(pairs, np.int32).reshape(-1, 2))
-    # staggered trans start for every chi
-    chi0 = jnp.full((B, L, 4), np.pi, jnp.float32) * pin.chi_mask
+    # staggered trans start for every chi — committed to the SAME batch
+    # sharding as the incoming torsions, so a dp-sharded fold result packs
+    # SPMD over the mesh instead of the fresh replicated chi0 pulling the
+    # packed atom14 onto one device (multichip emit-path invariant)
+    from trx2dy.physics.folder import _batch_sharder
+    put, _ = _batch_sharder(torsions)
+    chi0 = put(jnp.full((B, L, 4), np.pi, jnp.float32) * pin.chi_mask)
     xyz, mask, chi, _ = _pack_jit(torsions, chi0, pairs, pin,
                                   max_iter=max_iter, backbone=backbone)
     return xyz, mask[0] if mask.ndim == 3 else mask, chi
