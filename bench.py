@@ -64,7 +64,47 @@ def synth_target_npz(L: int, seed: int = 0) -> dict:
     return out
 
 
+def _init_backend(attempts: int = 3, backoff_s: float = 30.0):
+    """Touch the backend with bounded retries.
+
+    The axon TPU tunnel can fail at init transiently (round 2's bench
+    artifact was lost to exactly this); retry with backoff so one hiccup
+    doesn't cost the whole benchmark, and let the caller distinguish a
+    tunnel outage from a repo regression via the structured error."""
+    last = None
+    for i in range(attempts):
+        try:
+            devs = jax.devices()
+            jnp.zeros(()).block_until_ready()   # round-trip, not just init
+            return devs
+        except Exception as e:                  # noqa: BLE001
+            last = e
+            if i + 1 < attempts:
+                print(f"backend init attempt {i + 1}/{attempts} failed: "
+                      f"{e}; retrying in {backoff_s:.0f}s", file=sys.stderr)
+                time.sleep(backoff_s)
+    raise RuntimeError(f"backend init failed after {attempts} attempts: "
+                       f"{last}") from last
+
+
+def _fail(stage: str, err: BaseException) -> None:
+    """ONE structured JSON line on failure, so the artifact distinguishes
+    an environment outage from a repo regression."""
+    print(json.dumps({"error": f"{type(err).__name__}: {err}",
+                      "stage": stage,
+                      "metric": f"minimized decoys/min/chip (L={L}, full "
+                                f"protocol, batch={N_DECOYS})",
+                      "value": None, "unit": "decoys/min",
+                      "vs_baseline": None}))
+    sys.exit(1)
+
+
 def main() -> None:
+    try:
+        _init_backend()
+    except Exception as e:                      # noqa: BLE001
+        _fail("backend_init", e)
+
     from trx2dy.physics.folder import fold_ensemble
 
     npz = synth_target_npz(L)
@@ -80,12 +120,18 @@ def main() -> None:
         np.asarray(res.atoms["CA"][0, 0])      # force through the tunnel
         return res
 
-    run(jax.random.PRNGKey(0))                  # compile + warm-up
-    t0 = time.time()
-    res = run(jax.random.PRNGKey(1))
-    dt = time.time() - t0
+    try:
+        run(jax.random.PRNGKey(0))              # compile + warm-up
+    except Exception as e:                      # noqa: BLE001
+        _fail("warmup_compile", e)
+    try:
+        t0 = time.time()
+        res = run(jax.random.PRNGKey(1))
+        dt = time.time() - t0
+    except Exception as e:                      # noqa: BLE001
+        _fail("timed_run", e)
     if not bool(np.isfinite(np.asarray(res.energy)).all()):
-        raise RuntimeError("non-finite decoy energies")
+        _fail("validation", RuntimeError("non-finite decoy energies"))
 
     decoys_per_min = N_DECOYS / (dt / 60.0)
     print(json.dumps({
