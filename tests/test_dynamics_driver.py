@@ -230,11 +230,17 @@ class TestCombinedModels:
         # 2 initials per model + Nmax chain decoys per model, half each
         assert n_c1 == n_c2 == 2 + cfg.Nmax
         assert not os.path.exists(os.path.join(out, "tmp_npz"))
-        # traces carry the model tag for both streams
+        # traces carry the model tag for both streams, plus per-step
+        # phase-timing rows (fold / emit / measure+dampen wall seconds)
         import json
         rows = [json.loads(ln) for ln in
                 open(os.path.join(out, "traces.jsonl"))]
-        assert {r.get("model") for r in rows} == {"NMR", "Xray"}
+        decoy_rows = [r for r in rows if r["kind"] in ("initial", "chain")]
+        assert {r.get("model") for r in decoy_rows} == {"NMR", "Xray"}
+        phase_rows = [r for r in rows if r["kind"] == "phase"]
+        assert any("t_fold" in r for r in phase_rows)
+        assert all(np.isfinite(v) for r in phase_rows
+                   for k, v in r.items() if k.startswith("t_"))
 
     def test_combined_falls_back_on_resume(self, tmp_path):
         """An in-progress tmp_npz tree routes to the serial samplers whose
@@ -384,11 +390,12 @@ class TestTraces:
         rows = [json.loads(ln) for ln in
                 open(os.path.join(out, "traces.jsonl"))]
         kinds = {r["kind"] for r in rows}
-        assert kinds == {"initial", "chain"}
+        assert kinds - {"phase"} == {"initial", "chain"}
         init_rows = [r for r in rows if r["kind"] == "initial"]
         assert len(init_rows) == 2
         assert sum(r["selected_seed"] for r in init_rows) == 1
-        assert all(np.isfinite(r["energy"]) for r in rows)
+        assert all(np.isfinite(r["energy"]) for r in rows
+                   if r["kind"] != "phase")
 
 
 class TestAsyncIO:

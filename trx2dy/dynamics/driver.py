@@ -22,6 +22,7 @@ import functools
 import os
 import re
 import shutil
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -547,22 +548,28 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
 
     # ---- initial ensembles: ALL streams' initial decoys in one program --
     key, k_init = jax.random.split(key)
-    # ONE dict per stream, replicated by reference: fold_chains dedups
-    # restraint compilation by object identity
+    # ONE dict per stream, replicated across lanes: fold_chains dedups
+    # restraint compilation by content fingerprint
     stream_npzs = [hist_npz(s.hist) for s in streams]
     init_npzs = [stream_npzs[i] for i in range(M) for _ in range(N)]
     # pair-bucket ratchet: ONE compiled shape per fold program across all
     # dampening steps (mask drift otherwise recompiles minutes per step)
     floors: dict = {}
+    t0 = time.perf_counter()
     fr = fold_chains(init_npzs, seq, k_init, mode=cfg.mode,
                      use_orient=cfg.angle, fastrelax=cfg.fastrelax,
                      max_iter=cfg.max_iter, candidates=cfg.chain_candidates,
                      bucket_floors=floors, pad_to=pad_to,
                      **cfg.fold_kwargs)
+    jax.block_until_ready(fr.atoms["CA"])
+    t_fold = time.perf_counter() - t0
     init_lanes = list(range(M * N))
     init_paths = [os.path.join(streams[i].pdb_dir, f"initial{j}.pdb")
                   for i in range(M) for j in range(N)]
+    t0 = time.perf_counter()
     write_decoys(fr, init_lanes, init_paths)
+    trace.write(kind="phase", step="initial", t_fold=round(t_fold, 3),
+                t_emit=round(time.perf_counter() - t0, 3))
     scores = np.asarray(jax.vmap(reliability_score)(fr.torsions))
     e_np = np.asarray(fr.energy)
 
@@ -638,6 +645,7 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
             npzs = [{f: chains_np[f][c]
                      for f in ("dist", "omega", "theta", "phi")}
                     for c in range(C)]
+            t0 = time.perf_counter()
             fr = fold_chains(npzs, seq, k_it, mode=cfg.mode,
                              use_orient=cfg.angle,
                              fastrelax=cfg.fastrelax,
@@ -645,6 +653,8 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                              candidates=cfg.chain_candidates,
                              bucket_floors=floors, pad_to=pad_to,
                              **cfg.fold_kwargs)
+            jax.block_until_ready(fr.atoms["CA"])
+            t_fold = time.perf_counter() - t0
 
             lanes, paths, rows = [], [], []
             for i in range(M):
@@ -655,8 +665,11 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                     lanes.append(i * K + k)
                     paths.append(pdb_name_for(i, produced[i]))
                     rows.append((i, k, produced[i]))
+            t0 = time.perf_counter()
             write_decoys(fr, lanes, paths)
+            t_emit = time.perf_counter() - t0
 
+            t0 = time.perf_counter()
             a = fr.atoms
             adv = np.zeros((C,), bool)
             adv[lanes] = True
@@ -667,6 +680,9 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
             chains_np = {f: np.asarray(getattr(chains, f))
                          for f in GeomHistograms._fields}
             e_np = np.asarray(fr.energy)
+            trace.write(kind="phase", step=max(produced),
+                        t_fold=round(t_fold, 3), t_emit=round(t_emit, 3),
+                        t_measure=round(time.perf_counter() - t0, 3))
             for (i, k, num) in rows:
                 c = i * K + k
                 if num < cfg.Nmax:
@@ -685,7 +701,10 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     except Exception:
         io.close(raise_errors=False)  # keep the loop's error
         raise
+    t0 = time.perf_counter()
     io.close()
+    trace.write(kind="phase", step="io_drain",
+                t_io=round(time.perf_counter() - t0, 3))
 
     # resolve provisional names now that every stream's count is known
     for i in range(1, M):

@@ -315,6 +315,20 @@ def cartesian_refine(atoms: dict, rst, masks, w: EnergyWeights,
                        "dense", res_mask=res_mask)
 
 
+def cartesian_refine_compact(atoms: dict, cr, w: EnergyWeights,
+                             max_iter: int = 200,
+                             dist_on_ca: bool = False, res_mask=None):
+    """cartesian_refine against COMPACTED active-pair tables
+    (physics/compact.py CompactRestraints — shared across the batch).
+
+    Numerically the same objective as the dense path restricted to the
+    active pairs, at the compact path's HBM cost (the production staged
+    folder's 2.9 vs 5.6 ms value+grad, PERF.md) — fold_ensemble's default
+    final stage."""
+    return _refine_jit(atoms, cr, weights_to_vec(w), max_iter, "compact",
+                       dist_on_ca=dist_on_ca, res_mask=res_mask)
+
+
 def cartesian_refine_lanes(atoms: dict, cl, w: EnergyWeights,
                            max_iter: int = 200, dist_on_ca: bool = False,
                            res_mask=None):

@@ -799,13 +799,32 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
         # against the relax score + harmonic ideal-geometry (cart_bonded)
         # terms. Runs AFTER energy gating, on the kept lanes only.
         # Measured +0.02 mean TM on the bundled example (PERF.md).
-        from trx2dy.physics.cartmin import cartesian_refine
-        atoms, _ = cartesian_refine(atoms, rst, relax2, SCOREFXN_RELAX,
-                                    max_iter=200, res_mask=res_mask)
+        # Compacted active-pair tables: same objective as the dense path
+        # on the relax2-active pairs at ~half the HBM traffic (PERF.md).
+        from trx2dy.physics.cartmin import cartesian_refine_compact
+        from trx2dy.physics.compact import compact_restraints
+        atoms, _ = cartesian_refine_compact(
+            atoms, compact_restraints(rst, relax2), SCOREFXN_RELAX,
+            max_iter=200, res_mask=res_mask)
     t = tp[:, :, :L_true]
     if L_true < L:
         atoms = {k: v[:, :L_true] for k, v in atoms.items()}
     return FoldResult(torsions=t, energy=f, atoms=atoms)
+
+
+def _npz_fingerprint(npz: dict) -> str:
+    """Content hash of a histogram dict (key/shape/dtype/bytes) — the
+    fold_chains dedup key. ~ms per L=90 lane; negligible next to the
+    O(L^2) spline fitting it saves."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    for k in sorted(npz):
+        a = np.asarray(npz[k])
+        h.update(k.encode())
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
 
 
 def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
@@ -841,15 +860,21 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
     # compile restraints / masks ONCE per UNIQUE npz dict, then fan out:
     # callers that replicate one histogram set across lanes (the driver's
     # initial ensembles) would otherwise redo the O(L^2) host spline
-    # fitting per lane. Uniqueness is by object identity (checked BEFORE
-    # padding, which copies) — per-chain dampened histograms are distinct
-    # objects and compile individually.
+    # fitting per lane. Uniqueness is by CONTENT fingerprint (hashed
+    # BEFORE padding, which copies) — equal-content dicts from different
+    # sources dedup too, so this is a safe public-API contract; the id()
+    # memo just avoids re-hashing replicated objects.
     uniq: dict = {}
     lane_of = []
+    _fp_memo: dict = {}
     for npz in npz_list:
-        if id(npz) not in uniq:
-            uniq[id(npz)] = (len(uniq), npz)
-        lane_of.append(uniq[id(npz)][0])
+        fp = _fp_memo.get(id(npz))
+        if fp is None:
+            fp = _npz_fingerprint(npz)
+            _fp_memo[id(npz)] = fp
+        if fp not in uniq:
+            uniq[fp] = (len(uniq), npz)
+        lane_of.append(uniq[fp][0])
     u_npzs = [npz for _, npz in uniq.values()]
     res_mask = None
     if pad_to is not None and pad_to > L:
