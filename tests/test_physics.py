@@ -415,6 +415,39 @@ class TestCompactRestraints:
         assert float(jnp.max(jnp.abs(e_d - e_l) / (jnp.abs(e_d) + 1))) < 1e-5
         assert bool(jnp.isfinite(g_l).all())
 
+    def test_lanes_dedup_replicated_objects(self, monkeypatch):
+        """Lanes sharing (rst, masks) OBJECTS compact once and replicate on
+        device — identical tables to the naive per-lane build (the driver's
+        initial ensembles fan 2 unique sets over 40 lanes; the per-lane
+        _compact_term dispatches dominated the warm initial-fold wall)."""
+        import trx2dy.physics.compact as C
+        L = 20
+        p = FoldParams()
+        seq = ("ARNDCQEGHILKMFPSTWYV" * 1)[:L]
+        npzs = [_rand_npz(L, key=71), _rand_npz(L, key=72)]
+        rsts = [compile_restraints(n, p, use_orient=True) for n in npzs]
+        masks = [restraint_masks(r, seq, 1, L, pcut=0.04) for r in rsts]
+        fan_r = [rsts[0], rsts[0], rsts[1], rsts[0]]
+        fan_m = [masks[0], masks[0], masks[1], masks[0]]
+        calls = []
+        orig = C._compact_term
+        monkeypatch.setattr(C, "_compact_term",
+                            lambda t, m: (calls.append(1), orig(t, m))[1])
+        cl = C.compact_restraints_lanes(fan_r, fan_m)
+        assert len(calls) == 2 * 4, len(calls)   # 2 unique x 4 terms
+        # replicated lanes carry bit-identical tables; lane 2 differs
+        for name in ("dist", "omega", "theta", "phi"):
+            t = getattr(cl, name)
+            for f in ("i", "j", "y", "m", "act"):
+                a = np.asarray(getattr(t, f))
+                assert a.shape[0] == 4
+                np.testing.assert_array_equal(a[0], a[1])
+                np.testing.assert_array_equal(a[0], a[3])
+        assert not np.array_equal(np.asarray(cl.dist.i[0]),
+                                  np.asarray(cl.dist.i[2])) or \
+            not np.array_equal(np.asarray(cl.dist.y[0]),
+                               np.asarray(cl.dist.y[2]))
+
     def test_staged_fold_compact_matches_monolithic(self):
         """The staged executor (compact path) and the monolithic jit
         protocol (dense path) minimize to comparable energies."""

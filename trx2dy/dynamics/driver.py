@@ -546,21 +546,33 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     if cfg.len_bucket:
         pad_to = -(-len(seq) // cfg.len_bucket) * cfg.len_bucket
 
-    # ---- initial ensembles: ALL streams' initial decoys in one program --
-    key, k_init = jax.random.split(key)
-    # ONE dict per stream, replicated across lanes: fold_chains dedups
-    # restraint compilation by content fingerprint
+    # ---- initial ensembles: one fold_ensemble per stream ----------------
+    # Each stream's N initial decoys share ONE histogram set, so the
+    # shared-table fold_ensemble path applies (same call as the serial
+    # sampler's initials, oversample gating included). The per-lane-table
+    # chains path costs ~4x more per lane (per-lane spline tables in HBM +
+    # per-lane selection matmuls) and buys nothing when the tables are
+    # identical across lanes — measured 200 s -> ~60 s for the 2-stream
+    # initial fold at L=90 (traces.jsonl phase rows).
     stream_npzs = [hist_npz(s.hist) for s in streams]
-    init_npzs = [stream_npzs[i] for i in range(M) for _ in range(N)]
     # pair-bucket ratchet: ONE compiled shape per fold program across all
     # dampening steps (mask drift otherwise recompiles minutes per step)
     floors: dict = {}
     t0 = time.perf_counter()
-    fr = fold_chains(init_npzs, seq, k_init, mode=cfg.mode,
-                     use_orient=cfg.angle, fastrelax=cfg.fastrelax,
-                     max_iter=cfg.max_iter, candidates=cfg.chain_candidates,
-                     bucket_floors=floors, pad_to=pad_to,
-                     **cfg.fold_kwargs)
+    frs = []
+    for i in range(M):
+        key, k_i = jax.random.split(key)
+        frs.append(fold_ensemble(
+            stream_npzs[i], seq, k_i, n_decoys=N, mode=cfg.mode,
+            use_orient=cfg.angle, fastrelax=cfg.fastrelax,
+            max_iter=cfg.max_iter, oversample=cfg.oversample,
+            pad_to=pad_to, **cfg.fold_kwargs))
+    from trx2dy.physics.folder import FoldResult
+    fr = FoldResult(
+        torsions=jnp.concatenate([f.torsions for f in frs]),
+        energy=jnp.concatenate([f.energy for f in frs]),
+        atoms={k: jnp.concatenate([f.atoms[k] for f in frs])
+               for k in frs[0].atoms})
     jax.block_until_ready(fr.atoms["CA"])
     t_fold = time.perf_counter() - t0
     init_lanes = list(range(M * N))

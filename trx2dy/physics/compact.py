@@ -165,17 +165,30 @@ def compact_restraints_lanes(rsts, masks_list,
     per-step programs keep ONE shape for the whole run."""
     terms = {}
     for name in ("dist", "omega", "theta", "phi"):
-        per_lane = []
-        P = max(PAIR_BUCKET, (floor or {}).get(name, 0))
+        # Dedup identical (table, mask) OBJECT pairs across lanes before the
+        # host nonzero + device gathers: callers that fan one restraint set
+        # over many lanes (fold_chains' initial ensembles, candidate
+        # replication) share the objects, so U unique sets cost U
+        # _compact_term dispatches instead of M — the per-lane tables are
+        # then replicated ON DEVICE by one gather (only (U, P, K) transits
+        # the host->device path, not (M, P, K)).
+        memo: dict = {}
+        lane_u = []
         for rst, masks in zip(rsts, masks_list):
-            ct = _compact_term(getattr(rst, name), getattr(masks, name))
-            per_lane.append(ct)
+            k = (id(getattr(rst, name)), id(getattr(masks, name)))
+            if k not in memo:
+                memo[k] = (len(memo),
+                           _compact_term(getattr(rst, name),
+                                         getattr(masks, name)))
+            lane_u.append(memo[k][0])
+        uniq = [ct for _, ct in memo.values()]
+        P = max(PAIR_BUCKET, (floor or {}).get(name, 0))
+        for ct in uniq:
             P = max(P, ct.i.shape[0])
         stacked = []
-        for ct in per_lane:
+        for ct in uniq:
             pad = P - ct.i.shape[0]
             if pad:
-                K = ct.y.shape[-1]
                 ct = CompactTerm(
                     i=jnp.pad(ct.i, (0, pad)),
                     j=jnp.pad(ct.j, (0, pad), constant_values=1),
@@ -183,13 +196,19 @@ def compact_restraints_lanes(rsts, masks_list,
                     m=jnp.pad(ct.m, ((0, pad), (0, 0))),
                     x=ct.x, act=jnp.pad(ct.act, (0, pad)))
             stacked.append(ct)
-        terms[name] = CompactTermLanes(
+        u = CompactTermLanes(
             i=jnp.stack([c.i for c in stacked]),
             j=jnp.stack([c.j for c in stacked]),
             y=jnp.stack([c.y for c in stacked]),
             m=jnp.stack([c.m for c in stacked]),
             x=jnp.stack([c.x for c in stacked]),
             act=jnp.stack([c.act for c in stacked]))
+        if len(uniq) == len(rsts):
+            terms[name] = u
+        else:
+            idx = jnp.asarray(np.asarray(lane_u, np.int32))
+            terms[name] = jax.tree.map(
+                lambda a: jnp.take(a, idx, axis=0), u)
     return CompactLanes(**terms)
 
 
