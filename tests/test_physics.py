@@ -1010,6 +1010,28 @@ class TestBucketRatchet:
 
 
 class TestFoldChainsBucketing:
+    def test_lane_bucket_shares_programs_across_call_shapes(self):
+        """An initial-ensemble-style call (many lanes, candidates=1) and a
+        chain-step-style call (few chains, candidates>1) at the same
+        lane_bucket must reuse the SAME compiled stage programs — the
+        driver's whole pipeline runs on one program family."""
+        from trx2dy.physics.folder import _stage_run_jit, fold_chains
+        L = 16
+        seq = "ARNDCQEGHILKMFPS"
+        floors: dict = {}
+        kw = dict(mode=2, fastrelax=True, max_iter=6,
+                  bucket_floors=floors, lane_bucket=8)
+        a, b = _rand_npz(L, key=201), _rand_npz(L, key=202)
+        fr = fold_chains([a, a, a, b, b, b], seq, jax.random.PRNGKey(0),
+                         candidates=1, **kw)
+        assert fr.torsions.shape == (6, 3, L)
+        n_compiled = _stage_run_jit._cache_size()
+        fr2 = fold_chains([_rand_npz(L, key=203), _rand_npz(L, key=204)],
+                          seq, jax.random.PRNGKey(1), candidates=2, **kw)
+        assert fr2.torsions.shape == (2, 3, L)
+        assert np.isfinite(np.asarray(fr2.energy)).all()
+        assert _stage_run_jit._cache_size() == n_compiled
+
     def test_pad_to_and_identity_dedup(self):
         """fold_chains pads lanes to a length bucket (padded residues
         masked out of every term) and compiles restraints once per UNIQUE

@@ -94,14 +94,19 @@ class DynamicsConfig:
     # centroid (backbone + CB).
     full_atom: Optional[bool] = None
     # energy-gated decoy selection (TPU redesign, not in the reference):
-    # oversample folds ceil(N*(1+x)) lanes and keeps the N lowest-energy
-    # (the SEQUENTIAL sampler's fold_ensemble calls); the chains/combined
-    # paths gate via chain_candidates instead — every lane there, initial
-    # ensembles included, folds that many candidates and keeps the best.
+    # initial ensembles fold ceil(N*(1+oversample)) lanes per stream and
+    # keep the N lowest-energy; each chain step folds chain_candidates
+    # lanes per chain and keeps the best (see also fill_candidates below).
     # Culls the ~15-20% trapped-topology minimizations whose final
     # energy sits far above the good band (corr(E, TM) ~ -0.95 measured).
     oversample: float = 0.25
     chain_candidates: int = 2
+    # the combined sampler buckets its folded lane count so initial
+    # ensembles and chain steps share ONE family of compiled stage
+    # programs; fill_candidates spends any bucket padding the chain steps
+    # would fold anyway as extra best-of candidates per chain (monotone
+    # quality at ~zero marginal device cost) instead of inert lanes
+    fill_candidates: bool = True
     # pad targets to multiples of this length so batch-mode targets of
     # different L reuse one bucket of compiled fold programs (0 = off)
     len_bucket: int = 0
@@ -519,7 +524,6 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
         return {"dist": h.dist, "omega": h.omega, "theta": h.theta,
                 "phi": h.phi}
 
-    from trx2dy.physics.folder import fold_chains
     if cfg.emit_full_atom:
         from trx2dy.io.pdbio import write_pdb_atom14
         from trx2dy.physics.sidechain import pack_ensemble
@@ -546,33 +550,45 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     if cfg.len_bucket:
         pad_to = -(-len(seq) // cfg.len_bucket) * cfg.len_bucket
 
-    # ---- initial ensembles: one fold_ensemble per stream ----------------
-    # Each stream's N initial decoys share ONE histogram set, so the
-    # shared-table fold_ensemble path applies (same call as the serial
-    # sampler's initials, oversample gating included). The per-lane-table
-    # chains path costs ~4x more per lane (per-lane spline tables in HBM +
-    # per-lane selection matmuls) and buys nothing when the tables are
-    # identical across lanes — measured 200 s -> ~60 s for the 2-stream
-    # initial fold at L=90 (traces.jsonl phase rows).
+    # ---- initial ensembles: ONE chains-path fold for all streams --------
+    # Each stream's initial lanes share one histogram set, which fold_chains
+    # content-dedups to M unique table compilations; the lane_bucket makes
+    # this call reuse the SAME compiled stage-program shapes as every chain
+    # step below, so the whole pipeline traces + loads ONE program family
+    # per process (the separate fold_ensemble family previously cost ~180 s
+    # of jit tracing + executable loads over the remote-TPU tunnel before
+    # the first decoy came back).
     stream_npzs = [hist_npz(s.hist) for s in streams]
     # pair-bucket ratchet: ONE compiled shape per fold program across all
     # dampening steps (mask drift otherwise recompiles minutes per step)
     floors: dict = {}
+    from trx2dy.physics.folder import FoldResult, fold_chains, _bucket_size
+    n_init = int(np.ceil(N * (1.0 + cfg.oversample)))
+    cand = cfg.chain_candidates
+    lane_bucket = _bucket_size(max(M * n_init, C * cand))
+    if cfg.fill_candidates and lane_bucket // C > cand:
+        # chain steps would otherwise fold inert padding lanes up to the
+        # bucket — spend them as extra best-of candidates instead
+        cand = lane_bucket // C
     t0 = time.perf_counter()
-    frs = []
-    for i in range(M):
-        key, k_i = jax.random.split(key)
-        frs.append(fold_ensemble(
-            stream_npzs[i], seq, k_i, n_decoys=N, mode=cfg.mode,
-            use_orient=cfg.angle, fastrelax=cfg.fastrelax,
-            max_iter=cfg.max_iter, oversample=cfg.oversample,
-            pad_to=pad_to, **cfg.fold_kwargs))
-    from trx2dy.physics.folder import FoldResult
+    key, k_init = jax.random.split(key)
+    init_npzs = [stream_npzs[i] for i in range(M) for _ in range(n_init)]
+    fr_all = fold_chains(init_npzs, seq, k_init, mode=cfg.mode,
+                         use_orient=cfg.angle, fastrelax=cfg.fastrelax,
+                         max_iter=cfg.max_iter, candidates=1,
+                         bucket_floors=floors, pad_to=pad_to,
+                         lane_bucket=lane_bucket, **cfg.fold_kwargs)
+    # per-stream energy gating (fold_ensemble's oversample semantics):
+    # keep each stream's N lowest-energy lanes, in energy order
+    e_all = np.asarray(fr_all.energy)
+    keep = np.concatenate([
+        i * n_init + np.argsort(e_all[i * n_init:(i + 1) * n_init])[:N]
+        for i in range(M)])
+    keep_dev = jnp.asarray(keep)
     fr = FoldResult(
-        torsions=jnp.concatenate([f.torsions for f in frs]),
-        energy=jnp.concatenate([f.energy for f in frs]),
-        atoms={k: jnp.concatenate([f.atoms[k] for f in frs])
-               for k in frs[0].atoms})
+        torsions=fr_all.torsions[keep_dev],
+        energy=fr_all.energy[keep_dev],
+        atoms={k: v[keep_dev] for k, v in fr_all.atoms.items()})
     jax.block_until_ready(fr.atoms["CA"])
     t_fold = time.perf_counter() - t0
     init_lanes = list(range(M * N))
@@ -662,8 +678,9 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                              use_orient=cfg.angle,
                              fastrelax=cfg.fastrelax,
                              max_iter=cfg.max_iter,
-                             candidates=cfg.chain_candidates,
+                             candidates=cand,
                              bucket_floors=floors, pad_to=pad_to,
+                             lane_bucket=lane_bucket,
                              **cfg.fold_kwargs)
             jax.block_until_ready(fr.atoms["CA"])
             t_fold = time.perf_counter() - t0

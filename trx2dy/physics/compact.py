@@ -65,6 +65,12 @@ def _bucket(n: int) -> int:
 
 
 def _compact_term(table, mask) -> CompactTerm:
+    """Entirely host-side (numpy in, numpy out): the dynamics sampler
+    compacts 3 program families x 4 terms x K lanes EVERY step, and eager
+    device dispatch over the remote-TPU tunnel costs ~ms per op — measured
+    3.6 s/step for this path before the numpy rewrite (and a 35 s
+    first-step hit compiling the tiny gather programs). Callers transfer
+    the finished pair lists to device once per jitted program family."""
     mask_np = np.asarray(mask)
     L = mask_np.shape[0]
     ii, jj = np.nonzero(mask_np)
@@ -77,18 +83,18 @@ def _compact_term(table, mask) -> CompactTerm:
     j = np.concatenate([jj, np.full(pad, min(1, L - 1), np.int64)]
                        ).astype(np.int32)
     act = np.concatenate([np.ones(len(ii), bool), np.zeros(pad, bool)])
-    flat = jnp.asarray(i.astype(np.int64) * L + j)
+    flat = i.astype(np.int64) * L + j
     K = table.y.shape[-1]
-    y = jnp.take(table.y.reshape(L * L, K), flat, axis=0)
-    m = jnp.take(table.m.reshape(L * L, K), flat, axis=0)
-    return CompactTerm(jnp.asarray(i), jnp.asarray(j), y, m, table.x,
-                       jnp.asarray(act))
+    y = np.asarray(table.y).reshape(L * L, K)[flat]
+    m = np.asarray(table.m).reshape(L * L, K)[flat]
+    return CompactTerm(i, j, y, m, np.asarray(table.x), act)
 
 
 def compact_restraints(rst: RestraintSet,
                        masks: RestraintMasks) -> CompactRestraints:
-    """Compact one stage's active masks into padded pair lists (host-side
-    nonzero + device gathers; runs once per protocol stage)."""
+    """Compact one stage's active masks into padded pair lists (host-side,
+    numpy-backed; runs once per protocol stage — the staged folder
+    device-puts the result once at the program boundary)."""
     return CompactRestraints(
         dist=_compact_term(rst.dist, masks.dist),
         omega=_compact_term(rst.omega, masks.omega),
@@ -151,8 +157,19 @@ class CompactLanes(NamedTuple):
     phi: CompactTermLanes
 
 
+@jax.jit
+def _fanout_jit(uniq_terms: dict, idxs: dict) -> dict:
+    """Replicate per-term UNIQUE lane tables to the full lane axis on
+    device: one program per step instead of per-leaf eager gathers, and
+    only the (U, P, K) uniques transit the host->device path — the
+    fanned (M, P, K) copies never cross the tunnel."""
+    return {k: jax.tree.map(lambda a: jnp.take(a, idxs[k], axis=0), u)
+            for k, u in uniq_terms.items()}
+
+
 def compact_restraints_lanes(rsts, masks_list,
-                             floor: dict | None = None) -> CompactLanes:
+                             floor: dict | None = None,
+                             device: bool = False) -> CompactLanes:
     """Compact per-lane masks for chain mode: lane k (one decoy) has its own
     restraint set rsts[k] and active masks masks_list[k]. Pair lists pad to
     ONE bucketed P (the max across lanes) so the lane axis stacks.
@@ -162,16 +179,23 @@ def compact_restraints_lanes(rsts, masks_list,
     iteration; without a floor each count drift across a half-octave
     boundary changes the stage-program SHAPE and costs a minutes-long TPU
     recompile. The driver ratchets the floor up across iterations so the
-    per-step programs keep ONE shape for the whole run."""
+    per-step programs keep ONE shape for the whole run.
+
+    device: when True the returned CompactLanes lives on device, with the
+    unique->lane replication performed by ONE jitted gather (_fanout_jit);
+    when False everything stays numpy (host-side callers, tests)."""
     terms = {}
+    uniq_terms: dict = {}
+    lane_idx: dict = {}
     for name in ("dist", "omega", "theta", "phi"):
         # Dedup identical (table, mask) OBJECT pairs across lanes before the
-        # host nonzero + device gathers: callers that fan one restraint set
-        # over many lanes (fold_chains' initial ensembles, candidate
-        # replication) share the objects, so U unique sets cost U
-        # _compact_term dispatches instead of M — the per-lane tables are
-        # then replicated ON DEVICE by one gather (only (U, P, K) transits
-        # the host->device path, not (M, P, K)).
+        # host nonzero + gathers: callers that fan one restraint set over
+        # many lanes (fold_chains' initial ensembles, candidate replication)
+        # share the objects, so U unique sets cost U _compact_term calls
+        # instead of M. The fan-out itself is a host np.take — everything
+        # here stays numpy; fold_chains transfers the finished (M, P, K)
+        # lane tables to device ONCE per program family per step (~ms/MB
+        # jit-argument cost, vs ~ms PER eager op over the tunnel).
         memo: dict = {}
         lane_u = []
         for rst, masks in zip(rsts, masks_list):
@@ -190,25 +214,29 @@ def compact_restraints_lanes(rsts, masks_list,
             pad = P - ct.i.shape[0]
             if pad:
                 ct = CompactTerm(
-                    i=jnp.pad(ct.i, (0, pad)),
-                    j=jnp.pad(ct.j, (0, pad), constant_values=1),
-                    y=jnp.pad(ct.y, ((0, pad), (0, 0))),
-                    m=jnp.pad(ct.m, ((0, pad), (0, 0))),
-                    x=ct.x, act=jnp.pad(ct.act, (0, pad)))
+                    i=np.pad(ct.i, (0, pad)),
+                    j=np.pad(ct.j, (0, pad), constant_values=1),
+                    y=np.pad(ct.y, ((0, pad), (0, 0))),
+                    m=np.pad(ct.m, ((0, pad), (0, 0))),
+                    x=ct.x, act=np.pad(ct.act, (0, pad)))
             stacked.append(ct)
         u = CompactTermLanes(
-            i=jnp.stack([c.i for c in stacked]),
-            j=jnp.stack([c.j for c in stacked]),
-            y=jnp.stack([c.y for c in stacked]),
-            m=jnp.stack([c.m for c in stacked]),
-            x=jnp.stack([c.x for c in stacked]),
-            act=jnp.stack([c.act for c in stacked]))
-        if len(uniq) == len(rsts):
-            terms[name] = u
-        else:
-            idx = jnp.asarray(np.asarray(lane_u, np.int32))
-            terms[name] = jax.tree.map(
-                lambda a: jnp.take(a, idx, axis=0), u)
+            i=np.stack([c.i for c in stacked]),
+            j=np.stack([c.j for c in stacked]),
+            y=np.stack([c.y for c in stacked]),
+            m=np.stack([c.m for c in stacked]),
+            x=np.stack([c.x for c in stacked]),
+            act=np.stack([c.act for c in stacked]))
+        uniq_terms[name] = u
+        lane_idx[name] = np.asarray(lane_u, np.int32)
+        if not device:
+            if len(uniq) == len(rsts):
+                terms[name] = u
+            else:
+                terms[name] = jax.tree.map(
+                    lambda a: np.take(a, lane_idx[name], axis=0), u)
+    if device:
+        return CompactLanes(**_fanout_jit(uniq_terms, lane_idx))
     return CompactLanes(**terms)
 
 

@@ -274,8 +274,10 @@ def pose_energy(torsions: jnp.ndarray, rst: RestraintSet,
 WEIGHT_FIELDS = EnergyWeights._fields
 
 
-def weights_to_vec(w: EnergyWeights) -> jnp.ndarray:
-    return jnp.asarray([getattr(w, f) for f in WEIGHT_FIELDS], jnp.float32)
+def weights_to_vec(w: EnergyWeights) -> np.ndarray:
+    # host constant; becomes a traced (9,) jit argument at the program
+    # boundary (no eager device dispatch on the per-step path)
+    return np.asarray([getattr(w, f) for f in WEIGHT_FIELDS], np.float32)
 
 
 def pose_energy_weighted(torsions: jnp.ndarray, rst: RestraintSet,

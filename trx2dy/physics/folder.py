@@ -239,7 +239,7 @@ def _stage_masks_centroid(rst: RestraintSet, seq: str, mode: int,
     if mode == 3:
         if idr is None:
             raise ValueError("mode 3 requires the npz 'idr' mask")
-        idr = jnp.asarray(np.asarray(idr, bool))
+        idr = np.asarray(idr, bool)
         if idr.ndim == 1:
             idr = idr[:, None] | idr[None, :]
         base = restraint_masks(rst, seq, 0, L, pcut=pcut)
@@ -524,11 +524,16 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
     )
 
     def _as_arg(m):
+        # restraint compilation + compaction are host-side numpy; ONE
+        # device transfer here per program family, so the chunked
+        # _stage_run_jit calls pass device handles (re-transferring the
+        # tables per 250-iteration chunk would cost ~1.3 ms/MB per call)
         if isinstance(m, (CompactRestraints, CompactLanes)):
-            return (m, None)
+            return (jax.tree.map(jnp.asarray, m), None)
         if not multi_rst and not fused:
-            return (compact_restraints(rst, m), None)
-        return (rst, m)
+            return (jax.tree.map(jnp.asarray, compact_restraints(rst, m)),
+                    None)
+        return (jax.tree.map(jnp.asarray, rst), jax.tree.map(jnp.asarray, m))
 
     stage_args = [_as_arg(m) for m in stages]
     relax1_args = _as_arg(relax1_masks)
@@ -565,8 +570,13 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                     st = state_put(state_gather(st, sel), put)
                     lane = lane[sel]
                     if multi_rst:
-                        def take0(a, sel=sel):
-                            return put(np.take(np.asarray(a), sel, axis=0))
+                        # gather the surviving lanes' tables ON DEVICE —
+                        # round-tripping (M, P, K) tables through the host
+                        # costs ~ms/MB each way over the remote-TPU tunnel
+                        sel_dev = jnp.asarray(sel)
+
+                        def take0(a, sel_dev=sel_dev):
+                            return put(jnp.take(a, sel_dev, axis=0))
                         rst_c = jax.tree.map(take0, rst_c)
                         masks_c = jax.tree.map(take0, masks_c)
         x_full[lane] = np.asarray(st.x)
@@ -836,7 +846,8 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
                 detect_disulf: bool = True,
                 bucket_floors: Optional[dict] = None,
                 cart_refine: bool = True,
-                pad_to: Optional[int] = None) -> FoldResult:
+                pad_to: Optional[int] = None,
+                lane_bucket: Optional[int] = None) -> FoldResult:
     """Fold ONE decoy per chain, each chain with its OWN restraint set.
 
     The TPU-native throughput axis for the Dynamics sampler: K independent
@@ -847,6 +858,15 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
     candidates > 1 folds that many lanes per chain and keeps the
     lowest-energy one — the chain analog of fold_ensemble's oversample
     (culls trapped-topology decoys that would poison the dampening chain).
+
+    lane_bucket pads the folded lane count (K * candidates) up to a fixed
+    bucket by replicating the last lane (content-dedup makes the padding
+    free on host; the padded lanes are dropped before returning). Callers
+    that issue fold_chains with VARYING lane counts — the dynamics driver's
+    initial ensembles (M*N lanes) vs its chain steps (M*K*candidates) —
+    share ONE set of compiled stage-program shapes this way, instead of
+    tracing + loading a second program family per process (~minutes over
+    the remote-TPU tunnel).
     """
     L_true = len(seq)
     L = L_true
@@ -901,6 +921,9 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
             for r in u_rsts]
     reps = candidates if candidates > 1 else 1
     fan = [u for u in lane_of for _ in range(reps)]
+    n_real = len(fan)
+    if lane_bucket is not None and lane_bucket > n_real:
+        fan = fan + [fan[-1]] * (lane_bucket - n_real)
     rsts = [u_rsts[u] for u in fan]
     stage_masks = [u_stage_masks[u] for u in fan]
     r1_masks = [u_r1[u] for u in fan]
@@ -916,7 +939,10 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
         # a minutes-long TPU recompile every iteration
         fl = None if bucket_floors is None else \
             bucket_floors.setdefault(key, {})
-        cl = compact_restraints_lanes(rsts, masks, floor=fl)
+        # compaction is host-numpy; device=True transfers ONLY the unique
+        # lane tables and fans them out with one jitted gather per step
+        # (the chunked stage programs then pass device handles)
+        cl = compact_restraints_lanes(rsts, masks, floor=fl, device=True)
         if fl is not None:
             for name in ("dist", "omega", "theta", "phi"):
                 fl[name] = max(fl.get(name, 0),
@@ -931,6 +957,11 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
     M = len(rsts)
     if x0 is None:
         x0 = random_torsions(key, L, M)
+    elif x0.shape[0] < M:
+        # lane_bucket padding with an explicit x0: replicate the last start
+        x0 = jnp.concatenate(
+            [x0, jnp.broadcast_to(x0[-1:],
+                                  (M - x0.shape[0],) + x0.shape[1:])])
     x0 = x0.reshape(M, 3 * L)
 
     x, f = _protocol_staged(x0, None, stages, relax1, relax2,
@@ -938,24 +969,28 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
                             dist_on_ca=False, multi_rst=True,
                             res_mask=res_mask,
                             cart_r1=cart_refine and fastrelax)
-    if M > K:
-        # lanes k*candidates .. k*candidates+c-1 belong to chain k
-        f_np = np.asarray(f).reshape(K, -1)
-        pick = np.arange(K) * (M // K) + np.argmin(f_np, axis=1)
-        x = jnp.asarray(np.asarray(x)[pick])
-        f = jnp.asarray(np.asarray(f)[pick])
-    else:
-        pick = np.arange(K)
-    t = x.reshape(K, 3, L)
-    atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
+    t_all = x.reshape(M, 3, L)
+    atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t_all)
     if cart_refine and fastrelax:
         # cartesian channel per chain, each lane against its OWN compacted
-        # relax-stage tables (see fold_ensemble; folding.py:169,234)
+        # relax-stage tables (see fold_ensemble; folding.py:169,234). Runs
+        # over ALL bucketed lanes BEFORE candidate selection so the refine
+        # program keeps the bucket shape (one compiled shape per process);
+        # per-lane refinement is independent, so the kept lanes' results
+        # don't depend on the dropped ones.
         from trx2dy.physics.cartmin import cartesian_refine_lanes
-        cl = jax.tree.map(lambda a: a[jnp.asarray(pick)], relax2)
-        atoms, _ = cartesian_refine_lanes(atoms, cl, SCOREFXN_RELAX,
+        atoms, _ = cartesian_refine_lanes(atoms, relax2, SCOREFXN_RELAX,
                                           max_iter=200, res_mask=res_mask)
-    t = t[:, :, :L_true]
+    if reps > 1:
+        # lanes k*reps .. k*reps+reps-1 belong to chain k
+        f_np = np.asarray(f)[:n_real].reshape(K, reps)
+        pick = np.arange(K) * reps + np.argmin(f_np, axis=1)
+    else:
+        pick = np.arange(K)
+    pick_dev = jnp.asarray(pick)
+    t = t_all[pick_dev][:, :, :L_true]
+    f = f[pick_dev]
+    atoms = {k: v[pick_dev] for k, v in atoms.items()}
     if L_true < L:
         atoms = {k: v[:, :L_true] for k, v in atoms.items()}
     return FoldResult(torsions=t, energy=f, atoms=atoms)

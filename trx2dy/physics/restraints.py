@@ -107,8 +107,12 @@ def compile_restraints(npz: dict, params: FoldParams = FoldParams(),
     ydist = np.concatenate([repul, attr], axis=-1).astype(np.float32)
     dist_prob = dist[:, :, 5:].sum(-1)
 
+    # All tables are compiled ON HOST (numpy-backed SplineTables): this
+    # runs once per dampened histogram per dynamics step, and eager device
+    # ops over the remote-TPU tunnel cost more than the whole fit. The
+    # folder transfers finished tables to device once per program family.
     def _fit(x, y):
-        return fit_natural_cubic(x, jnp.asarray(y))
+        return fit_natural_cubic(x, np.asarray(y))
 
     if use_orient:
         omega = np.asarray(npz["omega"], dtype=np.float32)
@@ -140,10 +144,10 @@ def compile_restraints(npz: dict, params: FoldParams = FoldParams(),
         omega_prob = theta_prob = phi_prob = np.full((L, L), -1.0, np.float32)
 
     return RestraintSet(
-        dist=_fit(xk, ydist), dist_prob=jnp.asarray(dist_prob),
-        omega=_fit(torsion_knots(p), yomega), omega_prob=jnp.asarray(omega_prob),
-        theta=_fit(torsion_knots(p), ytheta), theta_prob=jnp.asarray(theta_prob),
-        phi=_fit(planar_knots(p), yphi), phi_prob=jnp.asarray(phi_prob),
+        dist=_fit(xk, ydist), dist_prob=np.asarray(dist_prob),
+        omega=_fit(torsion_knots(p), yomega), omega_prob=np.asarray(omega_prob),
+        theta=_fit(torsion_knots(p), ytheta), theta_prob=np.asarray(theta_prob),
+        phi=_fit(planar_knots(p), yphi), phi_prob=np.asarray(phi_prob),
     )
 
 
@@ -172,14 +176,13 @@ def restraint_masks(rst: RestraintSet, seq: str, sep1: int, sep2: int,
         isg = np.frombuffer(seq.encode(), dtype=np.uint8) == ord("G")
         pair_ok = ~(isg[:, None] | isg[None, :])
         sep_ok = sep_ok & pair_ok
-    sep_ok = jnp.asarray(sep_ok)
-    upper = jnp.asarray(upper)
-    offdiag = jnp.asarray(offdiag)
+    # host numpy throughout: masks feed the host-side compaction
+    # (physics.compact) — no device round trips on the per-step path
     return RestraintMasks(
-        dist=sep_ok & upper & (rst.dist_prob >= pcut),
-        omega=sep_ok & upper & (rst.omega_prob >= pcut + 0.5),
-        theta=sep_ok & offdiag & (rst.theta_prob >= pcut + 0.5),
-        phi=sep_ok & offdiag & (rst.phi_prob >= pcut + 0.6),
+        dist=sep_ok & upper & (np.asarray(rst.dist_prob) >= pcut),
+        omega=sep_ok & upper & (np.asarray(rst.omega_prob) >= pcut + 0.5),
+        theta=sep_ok & offdiag & (np.asarray(rst.theta_prob) >= pcut + 0.5),
+        phi=sep_ok & offdiag & (np.asarray(rst.phi_prob) >= pcut + 0.6),
     )
 
 
@@ -235,8 +238,7 @@ def add_disulfide_restraints(rst: RestraintSet, pairs: np.ndarray,
     for i, j in np.asarray(pairs):
         y[i, j] = y[j, i] = well
         prob[i, j] = prob[j, i] = 1.0
-    return rst._replace(dist=fit_natural_cubic(x, jnp.asarray(y)),
-                        dist_prob=jnp.asarray(prob))
+    return rst._replace(dist=fit_natural_cubic(x, y), dist_prob=prob)
 
 
 def restraint_energy(rst: RestraintSet, masks: RestraintMasks,
@@ -295,17 +297,17 @@ def compile_restraints_af2(npz: dict, params: FoldParams = FoldParams()
 
     zeros28 = np.zeros((L, L, 28), np.float32)
     zeros16 = np.zeros((L, L, 16), np.float32)
-    neg = jnp.full((L, L), -1.0)
+    neg = np.full((L, L), -1.0, np.float32)
     # shift prob so the reference's hardcoded 0.0025 cutoff maps onto the
     # standard pcut comparison in restraint_masks (prob' >= pcut - 0.0475)
     return RestraintSet(
-        dist=fit_natural_cubic(knots, jnp.asarray(ydist)),
-        dist_prob=jnp.asarray(prob + (0.05 - 0.0025)),
-        omega=fit_natural_cubic(torsion_knots(p), jnp.asarray(zeros28)),
+        dist=fit_natural_cubic(knots, ydist),
+        dist_prob=prob + (0.05 - 0.0025),
+        omega=fit_natural_cubic(torsion_knots(p), zeros28),
         omega_prob=neg,
-        theta=fit_natural_cubic(torsion_knots(p), jnp.asarray(zeros28)),
+        theta=fit_natural_cubic(torsion_knots(p), zeros28),
         theta_prob=neg,
-        phi=fit_natural_cubic(planar_knots(p), jnp.asarray(zeros16)),
+        phi=fit_natural_cubic(planar_knots(p), zeros16),
         phi_prob=neg,
     )
 
@@ -336,8 +338,7 @@ def compile_restraints_idp(npz: dict, params: FoldParams = FoldParams(),
     repul = np.asarray(std.dist.y)[:, :, :3]
     ydist_idr = np.concatenate([repul, idr_attr], axis=-1).astype(np.float32)
     ydist = np.where(idr[:, :, None], ydist_idr, np.asarray(std.dist.y))
-    out = std._replace(dist=fit_natural_cubic(dist_knots(p),
-                                              jnp.asarray(ydist)))
+    out = std._replace(dist=fit_natural_cubic(dist_knots(p), ydist))
 
     if use_orient:
         def idr_torsion(t):
@@ -350,15 +351,14 @@ def compile_restraints_idp(npz: dict, params: FoldParams = FoldParams(),
             y = np.where(idr[:, :, None], idr_torsion(t),
                          np.asarray(getattr(std, key).y))
             out = out._replace(**{key: fit_natural_cubic(torsion_knots(p),
-                                                         jnp.asarray(y))})
+                                                         y)})
         phi = np.asarray(npz["phi"], dtype=np.float32)
         yraw = -np.log((phi + p.MEFF) / (phi.max(-1) + p.MEFF)[:, :, None])
         yidr = np.concatenate([np.flip(yraw[:, :, 1:3], -1), yraw[:, :, 1:],
                                np.flip(yraw[:, :, -2:], -1)],
                               axis=-1).astype(np.float32)
         y = np.where(idr[:, :, None], yidr, np.asarray(std.phi.y))
-        out = out._replace(phi=fit_natural_cubic(planar_knots(p),
-                                                 jnp.asarray(y)))
+        out = out._replace(phi=fit_natural_cubic(planar_knots(p), y))
     return out
 
 
@@ -464,7 +464,7 @@ def compile_restraints_gpcr(npz: dict, known_npz: dict,
     repul = np.maximum(attr[:, :, 0], 0.0)[:, :, None] + np.asarray(p.EREP)
     cate_table = np.concatenate([repul, attr], -1).astype(np.float32)
     ydist = _linear_blend(np.asarray(std_set.dist.y), cate_table, bins_d, idr)
-    out = std_set._replace(dist=fit_natural_cubic(bins_d, jnp.asarray(ydist)))
+    out = std_set._replace(dist=fit_natural_cubic(bins_d, ydist))
 
     if use_orient:
         def cate_torsion(key_bin):
@@ -477,7 +477,7 @@ def compile_restraints_gpcr(npz: dict, known_npz: dict,
         for key in ("omega", "theta"):
             y = _linear_blend(np.asarray(getattr(out, key).y),
                               cate_torsion(key), tk, idr)
-            out = out._replace(**{key: fit_natural_cubic(tk, jnp.asarray(y))})
+            out = out._replace(**{key: fit_natural_cubic(tk, y)})
 
         cate = _gaussian_vote(onehots(None, "phi"))
         yraw = -np.log((cate + p.MEFF) / (cate[:, :, -1] + p.MEFF)[:, :, None])
@@ -486,5 +486,5 @@ def compile_restraints_gpcr(npz: dict, known_npz: dict,
                                -1).astype(np.float32)
         pk = planar_knots(p)
         y = _linear_blend(np.asarray(out.phi.y), ycate, pk, idr)
-        out = out._replace(phi=fit_natural_cubic(pk, jnp.asarray(y)))
+        out = out._replace(phi=fit_natural_cubic(pk, y))
     return out

@@ -27,8 +27,25 @@ class SplineTable(NamedTuple):
     m: jnp.ndarray        # (..., n) second derivatives (natural BC)
 
 
+_OP_CACHE: dict = {}
+
+
 def _second_derivative_operator(x: np.ndarray) -> np.ndarray:
-    """(n, n) linear operator y -> M for a natural cubic spline on knots x."""
+    """(n, n) linear operator y -> M for a natural cubic spline on knots x.
+
+    Cached per knot grid: the folder fits tables for every dampened
+    histogram of every dynamics step, but only ever on the four fixed
+    knot grids (dist/torsion/planar/af2)."""
+    key = x.tobytes()
+    hit = _OP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    op = _second_derivative_operator_impl(x)
+    _OP_CACHE[key] = op
+    return op
+
+
+def _second_derivative_operator_impl(x: np.ndarray) -> np.ndarray:
     n = x.shape[0]
     h = np.diff(x)
     if n < 3:
@@ -51,15 +68,26 @@ def _second_derivative_operator(x: np.ndarray) -> np.ndarray:
     return op
 
 
-def fit_natural_cubic(x: np.ndarray, y: jnp.ndarray) -> SplineTable:
+def fit_natural_cubic(x: np.ndarray, y) -> SplineTable:
     """Fit natural cubic splines for a batch of tables sharing knots x.
 
     Args:
       x: (n,) strictly increasing knots (host constant).
-      y: (..., n) values.
+      y: (..., n) values. A NUMPY y is fitted entirely ON HOST and the
+        table stays numpy-backed — the restraint-compilation path runs
+        once per dampened histogram per dynamics step, and eager device
+        dispatch over the remote-TPU tunnel costs far more than this
+        (..., n) x (n, n) BLAS matmul; callers transfer the finished
+        tables to device once, at the jitted-program boundary
+        (folder._protocol_staged / fold_chains). A jax y keeps the
+        on-device einsum (in-jit and explicitly-device callers).
     """
-    op = jnp.asarray(_second_derivative_operator(np.asarray(x, np.float64)),
-                     dtype=y.dtype)
+    op64 = _second_derivative_operator(np.asarray(x, np.float64))
+    if isinstance(y, np.ndarray):
+        op = op64.astype(y.dtype)
+        m = np.einsum("...n,kn->...k", y, op)
+        return SplineTable(np.asarray(x, dtype=y.dtype), y, m)
+    op = jnp.asarray(op64, dtype=y.dtype)
     m = jnp.einsum("...n,kn->...k", y, op,
                    precision=jax.lax.Precision.HIGHEST)
     return SplineTable(jnp.asarray(x, dtype=y.dtype), y, m)
