@@ -276,6 +276,10 @@ from trx2dy.parallel.mesh import make_mesh
 from trx2dy.parallel.decoys import fold_ensemble_sharded
 
 folder.STAGE_CHUNK = 5
+# production gates repacking off below B=48 (executable-count economy on
+# the remote-TPU tunnel); drop the gate so B=16 still exercises the
+# repack path this test exists to cover
+folder.LANE_REPACK_MIN_BATCH = 16
 recorded = []
 orig_run = folder._stage_run_jit
 def spy_run(st, *a, **k):

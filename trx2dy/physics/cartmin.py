@@ -329,11 +329,41 @@ def cartesian_refine_compact(atoms: dict, cr, w: EnergyWeights,
                        dist_on_ca=dist_on_ca, res_mask=res_mask)
 
 
+@jax.jit
+def _idealize_finish_jit(atoms0, delta, res_mask=None):
+    """Idealize tether pass + displacement unpack (the tail _refine_jit
+    fuses; split out so the refine body can share the chunked cart
+    programs)."""
+    return _delta_unpack(atoms0, _idealize(atoms0, delta, res_mask))
+
+
 def cartesian_refine_lanes(atoms: dict, cl, w: EnergyWeights,
                            max_iter: int = 200, dist_on_ca: bool = False,
                            res_mask=None):
     """Chain-mode refinement: lane k refines against its OWN compacted
     restraint tables (physics/compact.py CompactLanes — the relax-stage
-    compact set fold_chains already builds)."""
-    return _refine_jit(atoms, cl, weights_to_vec(w), max_iter, "lanes",
-                       dist_on_ca=dist_on_ca, res_mask=res_mask)
+    compact set fold_chains already builds).
+
+    Runs on the SAME chunked (_cart_init_jit, _cart_run_jit) programs as
+    the relax round-1 cartesian block instead of a monolithic _refine_jit:
+    in the dynamics pipeline those executables are already traced + loaded
+    by the time the refine runs, and every distinct big program costs
+    ~10 s of first-use overhead over the remote-TPU tunnel per process.
+    Chunked resume is exact (folder._stage_run_jit pattern), so the result
+    matches the monolithic path."""
+    from trx2dy.physics.folder import _batch_sharder
+    put, _ = _batch_sharder(atoms["CA"])
+    B, L, _ = atoms["N"].shape
+    w_vec = weights_to_vec(w)
+    delta = put(jnp.zeros((B, len(_ATOMS) * L * 3), atoms["CA"].dtype))
+    st = _cart_init_jit(atoms, delta, cl, w_vec, "lanes",
+                        dist_on_ca, res_mask)
+    remaining = max_iter
+    while remaining > 0:
+        st = _cart_run_jit(st, atoms, cl, w_vec,
+                           min(CART_CHUNK, remaining), "lanes",
+                           dist_on_ca, res_mask)
+        remaining -= CART_CHUNK
+        if bool(np.asarray(jnp.all(st.done))):
+            break
+    return _idealize_finish_jit(atoms, st.x, res_mask), st.f

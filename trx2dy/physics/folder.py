@@ -351,6 +351,13 @@ STAGE_CHUNK = 250
 # burning compute/HBM (the fix for the measured B=100 batch-drain collapse).
 # Buckets keep the set of compiled program shapes small and cacheable.
 COMPACT_MIN_BATCH = 8
+# ... but only engage repacking at batches where per-iteration time actually
+# scales with the lane count (B x L big enough to leave the latency-bound
+# regime). Below this, every repacked sub-bucket duplicates the whole stage
+# program family, and each extra executable costs ~10 s of first-use
+# trace + load over the remote-TPU tunnel per process — measured to
+# dominate the dynamics pipeline's fixed cost at B=32, L=90.
+LANE_REPACK_MIN_BATCH = 48
 
 
 def _bucket_size(n: int, dp: int = 1) -> int:
@@ -371,25 +378,6 @@ def _atoms_jit(t):
 @jax.jit
 def _project_torsions_jit(x, atoms):
     return _project_torsions(x, atoms)
-
-
-def _vdw_fun(xx, res_mask=None):
-    B = xx.shape[0]
-    t = xx.reshape(B, 3, -1)
-    return jax.vmap(
-        lambda tt: pose_energy(tt, None, None, SCOREFXN_VDW, False,
-                               res_mask))(t)
-
-
-@jax.jit
-def _vdw_init_jit(x, freeze, res_mask=None):
-    return lbfgs_init(lambda xx: _vdw_fun(xx, res_mask), x, freeze=freeze)
-
-
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _vdw_run_jit(state, chunk, res_mask=None):
-    return lbfgs_run(lambda xx: _vdw_fun(xx, res_mask), state,
-                     max_iter=chunk)
 
 
 def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat=False,
@@ -558,7 +546,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
             done = np.asarray(st.done)
             if done.all():
                 break
-            if remaining > 0 and B0 >= 2 * COMPACT_MIN_BATCH:
+            if remaining > 0 and B0 >= LANE_REPACK_MIN_BATCH:
                 n_act = int((~done).sum())
                 bucket = _bucket_size(n_act, dp)
                 if bucket <= len(done) // 2:
@@ -583,7 +571,13 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         return put(x_full)
 
     def vdw_scores(x):
-        return _vdw_init_jit(x, ~no_freeze, res_mask).f
+        # vdw-only scoring through the SHARED stage program (w_vec is
+        # data; every non-vdw weight is 0, so values and gradients equal
+        # the dedicated vdw program's) — each extra executable costs
+        # ~10 s+ of first-use trace + load over the remote-TPU tunnel
+        return _stage_init_jit(x, stage_args[0][0], stage_args[0][1],
+                               w_vdw, ~no_freeze, dist_on_ca, multi_rst,
+                               remat, fused, res_mask).f
 
     def remove_clash(x, w_min, rst_masks, iters):
         for _ in range(CLASH_ROUNDS):
@@ -594,18 +588,14 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                       iters=iters)
         return x
 
-    # initial clash removal: vdw-only program, no restraints
+    # initial clash removal: vdw-only weights, restraint weights zeroed
+    # (same program family as every other stage — see vdw_scores)
     x = x0
     for _ in range(CLASH_ROUNDS):
         active = np.asarray(vdw_scores(x)) >= CLASH_SCORE_CUTOFF
         if not active.any():
             break
-        st = _vdw_init_jit(x, put(~active), res_mask)
-        for _ in range(0, 500, STAGE_CHUNK):
-            st = _vdw_run_jit(st, STAGE_CHUNK, res_mask)
-            if bool(np.asarray(jnp.all(st.done))):
-                break
-        x = st.x
+        x = stage(x, stage_args[0], w_vdw, freeze=put(~active), iters=500)
 
     for sa in stage_args:
         for _ in range(3):
@@ -949,10 +939,16 @@ def fold_chains(npz_list, seq: str, key: jax.Array, mode: int = 2,
                                getattr(cl, name).i.shape[1])
         return cl
 
-    stages = [compact_with(("stage", s), [sm[s] for sm in stage_masks])
+    # ONE shared floor for every program family: centroid stages and both
+    # relax rounds then carry IDENTICAL table shapes, so the whole protocol
+    # runs on a single compiled (init, run) stage-program pair — each extra
+    # executable costs ~10 s of first-use trace + load over the tunnel per
+    # process. The relax rounds pay stage-sized pair padding for it
+    # (act-masked, numerics unchanged).
+    stages = [compact_with("all", [sm[s] for sm in stage_masks])
               for s in range(n_stages)]
-    relax1 = compact_with("relax1", r1_masks)
-    relax2 = compact_with("relax2", r2_masks)
+    relax1 = compact_with("all", r1_masks)
+    relax2 = compact_with("all", r2_masks)
 
     M = len(rsts)
     if x0 is None:
