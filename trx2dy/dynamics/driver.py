@@ -39,6 +39,7 @@ from trx2dy.dynamics.loop import (
 )
 
 CONVERGE_TOL = 0.01   # max|delta tmp| (run_inference.py:135-137)
+PACK_CHUNK = 8        # sidechain-pack batch bucket (see write_decoys)
 
 
 class TraceWriter:
@@ -530,16 +531,34 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
 
     def write_decoys(fr, lanes, paths):
         """Write the decoys of the given lanes; sidechain packing (when
-        full-atom output is on) runs ONLY over the written lanes."""
+        full-atom output is on) runs ONLY over the written lanes.
+
+        Packing runs in fixed-size batches of PACK_CHUNK lanes (last batch
+        padded by repetition) so the initial emit (M*N lanes) and every
+        chain step (however many lanes its budget writes) share ONE
+        compiled pack executable per process — each distinct batch shape
+        would otherwise trace + load its own copy over the TPU tunnel."""
         if cfg.emit_full_atom:
-            t_sel = jnp.asarray(np.asarray(fr.torsions)[lanes])
-            bb_sel = {k: jnp.asarray(np.asarray(v)[lanes])
-                      for k, v in fr.atoms.items()}
-            xyz14, mask14, _ = pack_ensemble(t_sel, seq, backbone=bb_sel)
-            xyz14 = np.asarray(xyz14)
-            mask14 = np.asarray(mask14)
-            for j, path in enumerate(paths):
-                io.submit(write_pdb_atom14, path, seq, xyz14[j], mask14)
+            from trx2dy.physics.sidechain import detect_disulfides
+            t_np = np.asarray(fr.torsions)
+            bb_np = {k: np.asarray(v) for k, v in fr.atoms.items()}
+            # one disulfide pairing for the whole written set (ensemble-mean
+            # CB, pack_ensemble's own rule) — per-chunk detection could
+            # disagree across chunks of one ensemble
+            pairs = detect_disulfides(bb_np["CB"][lanes].mean(0), seq)
+            for c0 in range(0, len(lanes), PACK_CHUNK):
+                sub = list(lanes[c0:c0 + PACK_CHUNK])
+                sub_paths = paths[c0:c0 + PACK_CHUNK]
+                n_real = len(sub)
+                pad = sub + [sub[0]] * (PACK_CHUNK - n_real)
+                xyz14, mask14, _ = pack_ensemble(
+                    jnp.asarray(t_np[pad]), seq, pairs=pairs,
+                    backbone={k: jnp.asarray(v[pad])
+                              for k, v in bb_np.items()})
+                xyz14 = np.asarray(xyz14)
+                mask14 = np.asarray(mask14)
+                for j, path in enumerate(sub_paths):
+                    io.submit(write_pdb_atom14, path, seq, xyz14[j], mask14)
         else:
             atoms_np = {a: np.asarray(v) for a, v in fr.atoms.items()}
             for j, (lane, path) in enumerate(zip(lanes, paths)):

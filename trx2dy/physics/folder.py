@@ -423,13 +423,17 @@ def _stage_init_jit(x, rst, masks, w_vec, freeze, dist_on_ca=False,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("chunk", "dist_on_ca", "multi", "remat",
+                   static_argnames=("dist_on_ca", "multi", "remat",
                                     "fused"))
 def _stage_run_jit(state, rst, masks, w_vec, chunk, dist_on_ca=False,
                    multi=False, remat=False, fused=False, res_mask=None):
     """One bounded chunk of the stage L-BFGS. The score function is DATA
-    (w_vec), so a single compiled program serves every stage of the
-    protocol, every dynamics iteration, and both NMR/X-ray models."""
+    (w_vec) and so is the iteration bound (chunk — the while_loop's trip
+    bound is already data-dependent), so a single compiled program serves
+    every stage of the protocol at every chunk size: the relax schedules'
+    50/100/200-iteration budgets would otherwise each trace + load their
+    own copy of this (large) executable per process (~10 s each over the
+    remote-TPU tunnel)."""
     fun = _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat, fused,
                         res_mask)
     return lbfgs_run(fun, state, max_iter=chunk)
@@ -472,7 +476,7 @@ def _fa_init_jit(x, rst, masks, w_vec, chi, pairs, pin, freeze,
     return lbfgs_init(fun, x, freeze=freeze)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "dist_on_ca"))
+@functools.partial(jax.jit, static_argnames=("dist_on_ca",))
 def _fa_run_jit(state, rst, masks, w_vec, chi, pairs, pin, chunk,
                 dist_on_ca=False, res_mask=None):
     fun = _fa_weighted_fun(rst, masks, w_vec, dist_on_ca, res_mask,
