@@ -231,6 +231,37 @@ def _cart_run_jit(state, atoms0, tables, w_vec, chunk, kind,
     return lbfgs_run(efun, state, max_iter=chunk)
 
 
+def _cart_init(atoms0, delta0, tables, w_vec, kind, dist_on_ca=False,
+               res_mask=None):
+    """_cart_init_jit, optionally through the AOT trace cache
+    (utils/aot.py — skips this program's per-process jit trace)."""
+    from trx2dy.utils import aot
+    if aot.enabled():
+        return aot.aot_call(
+            "cart_init",
+            functools.partial(_cart_init_jit, kind=kind,
+                              dist_on_ca=dist_on_ca),
+            (atoms0, delta0, tables, w_vec), {"res_mask": res_mask},
+            static_key=repr((kind, dist_on_ca)))
+    return _cart_init_jit(atoms0, delta0, tables, w_vec, kind,
+                          dist_on_ca, res_mask)
+
+
+def _cart_run(state, atoms0, tables, w_vec, chunk, kind, dist_on_ca=False,
+              res_mask=None):
+    """_cart_run_jit through the optional AOT trace cache (see above)."""
+    from trx2dy.utils import aot
+    if aot.enabled():
+        return aot.aot_call(
+            "cart_run",
+            functools.partial(_cart_run_jit, chunk=chunk, kind=kind,
+                              dist_on_ca=dist_on_ca),
+            (state, atoms0, tables, w_vec), {"res_mask": res_mask},
+            static_key=repr((chunk, kind, dist_on_ca)))
+    return _cart_run_jit(state, atoms0, tables, w_vec, chunk, kind,
+                         dist_on_ca, res_mask)
+
+
 def _table_kind(tables) -> str:
     from trx2dy.physics.compact import CompactRestraints, CompactLanes
     if isinstance(tables, CompactLanes):
@@ -265,21 +296,21 @@ def cartesian_relax_block(atoms: dict, tables, w_stages,
     from trx2dy.physics.folder import _batch_sharder
     put, _ = _batch_sharder(atoms["CA"])
     delta = put(jnp.zeros((B, len(_ATOMS) * L * 3), atoms["CA"].dtype))
-    f0 = _cart_init_jit(atoms, delta, tables, w_full_vec, kind,
+    f0 = _cart_init(atoms, delta, tables, w_full_vec, kind,
                         dist_on_ca, res_mask).f
     for w_vec, iters in w_stages:
-        st = _cart_init_jit(atoms, delta, tables, w_vec, kind,
+        st = _cart_init(atoms, delta, tables, w_vec, kind,
                             dist_on_ca, res_mask)
         remaining = iters
         while remaining > 0:
-            st = _cart_run_jit(st, atoms, tables, w_vec,
+            st = _cart_run(st, atoms, tables, w_vec,
                                min(CART_CHUNK, remaining), kind,
                                dist_on_ca, res_mask)
             remaining -= CART_CHUNK
             if bool(np.asarray(jnp.all(st.done))):
                 break
         delta = st.x
-    f1 = _cart_init_jit(atoms, delta, tables, w_full_vec, kind,
+    f1 = _cart_init(atoms, delta, tables, w_full_vec, kind,
                         dist_on_ca, res_mask).f
     keep = np.asarray(f1) < np.asarray(f0)          # accept_to_best
     delta = put(jnp.where(put(jnp.asarray(keep))[:, None], delta, 0.0))
@@ -325,6 +356,14 @@ def cartesian_refine_compact(atoms: dict, cr, w: EnergyWeights,
     active pairs, at the compact path's HBM cost (the production staged
     folder's 2.9 vs 5.6 ms value+grad, PERF.md) — fold_ensemble's default
     final stage."""
+    from trx2dy.utils import aot
+    if aot.enabled():
+        return aot.aot_call(
+            "cart_refine",
+            functools.partial(_refine_jit, max_iter=max_iter,
+                              kind="compact", dist_on_ca=dist_on_ca),
+            (atoms, cr, weights_to_vec(w)), {"res_mask": res_mask},
+            static_key=repr((max_iter, "compact", dist_on_ca)))
     return _refine_jit(atoms, cr, weights_to_vec(w), max_iter, "compact",
                        dist_on_ca=dist_on_ca, res_mask=res_mask)
 
@@ -356,11 +395,11 @@ def cartesian_refine_lanes(atoms: dict, cl, w: EnergyWeights,
     B, L, _ = atoms["N"].shape
     w_vec = weights_to_vec(w)
     delta = put(jnp.zeros((B, len(_ATOMS) * L * 3), atoms["CA"].dtype))
-    st = _cart_init_jit(atoms, delta, cl, w_vec, "lanes",
+    st = _cart_init(atoms, delta, cl, w_vec, "lanes",
                         dist_on_ca, res_mask)
     remaining = max_iter
     while remaining > 0:
-        st = _cart_run_jit(st, atoms, cl, w_vec,
+        st = _cart_run(st, atoms, cl, w_vec,
                            min(CART_CHUNK, remaining), "lanes",
                            dist_on_ca, res_mask)
         remaining -= CART_CHUNK

@@ -439,6 +439,39 @@ def _stage_run_jit(state, rst, masks, w_vec, chunk, dist_on_ca=False,
     return lbfgs_run(fun, state, max_iter=chunk)
 
 
+def _stage_init(x, rst, masks, w_vec, freeze, dist_on_ca=False, multi=False,
+                remat=False, fused=False, res_mask=None, nm=0):
+    """_stage_init_jit, optionally through the AOT trace cache
+    (utils/aot.py): a fresh process deserializes the exported module
+    instead of paying this (large) program's jit trace again."""
+    from trx2dy.utils import aot
+    if aot.enabled():
+        return aot.aot_call(
+            "stage_init",
+            functools.partial(_stage_init_jit, dist_on_ca=dist_on_ca,
+                              multi=multi, remat=remat, fused=fused, nm=nm),
+            (x, rst, masks, w_vec, freeze), {"res_mask": res_mask},
+            static_key=repr((dist_on_ca, multi, remat, fused, nm)))
+    return _stage_init_jit(x, rst, masks, w_vec, freeze, dist_on_ca, multi,
+                           remat, fused, res_mask, nm=nm)
+
+
+def _stage_run(state, rst, masks, w_vec, chunk, dist_on_ca=False,
+               multi=False, remat=False, fused=False, res_mask=None):
+    """_stage_run_jit through the optional AOT trace cache (see above)."""
+    from trx2dy.utils import aot
+    if aot.enabled():
+        return aot.aot_call(
+            "stage_run",
+            functools.partial(_stage_run_jit, dist_on_ca=dist_on_ca,
+                              multi=multi, remat=remat, fused=fused),
+            (state, rst, masks, w_vec, jnp.asarray(chunk, jnp.int32)),
+            {"res_mask": res_mask},
+            static_key=repr((dist_on_ca, multi, remat, fused)))
+    return _stage_run_jit(state, rst, masks, w_vec, chunk, dist_on_ca,
+                          multi, remat, fused, res_mask)
+
+
 # --- repack-in-the-loop (A/B switch, VERDICT r2 item 6) ---------------------
 # The reference relax scripts' `ramp_repack_min` REPACKS rotamers before every
 # ramp-stage minimization with chi in the movemap (folding.py:224-228,
@@ -535,7 +568,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         rst_a, masks = rst_masks
         iters = max_iter if iters is None else iters
         B0 = x.shape[0]
-        st = _stage_init_jit(x, rst_a, masks, w, freeze, dist_on_ca,
+        st = _stage_init(x, rst_a, masks, w, freeze, dist_on_ca,
                              multi_rst, remat, fused, res_mask,
                              nm=NONMONOTONE_WINDOW)
         rst_c, masks_c = rst_a, masks
@@ -543,7 +576,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         lane = np.arange(B0)                 # current lane -> original index
         remaining = iters
         while remaining > 0:
-            st = _stage_run_jit(st, rst_c, masks_c, w,
+            st = _stage_run(st, rst_c, masks_c, w,
                                 min(STAGE_CHUNK, remaining), dist_on_ca,
                                 multi_rst, remat, fused, res_mask)
             remaining -= STAGE_CHUNK
@@ -579,7 +612,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         # data; every non-vdw weight is 0, so values and gradients equal
         # the dedicated vdw program's) — each extra executable costs
         # ~10 s+ of first-use trace + load over the remote-TPU tunnel
-        return _stage_init_jit(x, stage_args[0][0], stage_args[0][1],
+        return _stage_init(x, stage_args[0][0], stage_args[0][1],
                                w_vdw, ~no_freeze, dist_on_ca, multi_rst,
                                remat, fused, res_mask).f
 
@@ -608,7 +641,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         x = remove_clash(x, w_sf1, sa, max_iter)
     if fastrelax:
         def full_f(xx, rst_masks):
-            return np.asarray(_stage_init_jit(xx, rst_masks[0], rst_masks[1],
+            return np.asarray(_stage_init(xx, rst_masks[0], rst_masks[1],
                                               w_relax, ~no_freeze, dist_on_ca,
                                               multi_rst, remat, fused,
                                               res_mask).f)
@@ -667,7 +700,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
             x = put(_project_torsions_jit(x, atoms))
         x = relax_round(x, relax2_args, RELAX_SCHEDULE_R2,
                         repack=pack_args is not None and not multi_rst)
-    f = _stage_init_jit(x, stage_args[-1][0], stage_args[-1][1], w_cent,
+    f = _stage_init(x, stage_args[-1][0], stage_args[-1][1], w_cent,
                         ~no_freeze, dist_on_ca, multi_rst, remat, fused,
                         res_mask).f
     return x, f

@@ -268,8 +268,15 @@ def pack_ensemble(torsions, seq: str, max_iter: int = 150,
     from trx2dy.physics.folder import _batch_sharder
     put, _ = _batch_sharder(torsions)
     chi0 = put(jnp.full((B, L, 4), np.pi, jnp.float32) * pin.chi_mask)
-    xyz, mask, chi, _ = _pack_jit(torsions, chi0, pairs, pin,
-                                  max_iter=max_iter, backbone=backbone)
+    from trx2dy.utils import aot
+    if aot.enabled():
+        xyz, mask, chi, _ = aot.aot_call(
+            "pack", functools.partial(_pack_jit, max_iter=max_iter),
+            (torsions, chi0, pairs, pin), {"backbone": backbone},
+            static_key=repr(max_iter))
+    else:
+        xyz, mask, chi, _ = _pack_jit(torsions, chi0, pairs, pin,
+                                      max_iter=max_iter, backbone=backbone)
     return xyz, mask[0] if mask.ndim == 3 else mask, chi
 
 

@@ -1,0 +1,168 @@
+"""AOT trace cache: skip per-process jit TRACING of the big fold programs.
+
+The staged fold protocol's program family costs ~60 s of host-side jit
+tracing + StableHLO lowering per process at production shapes (measured,
+scripts/profile_trace_cost.py) before the on-disk XLA compile cache can
+even be consulted — the dominant share of the e2e pipeline's first-fold
+fixed cost (EXAMPLE_RESULTS.md). jax.export can serialize the lowered
+module once; later processes deserialize it (proto parse, ~ms/MB) instead
+of re-tracing Python.
+
+Opt-in via TRX2DY_AOT_CACHE=1 (or aot.enable()): correctness of a stale
+artifact is guarded by keying every entry on a content hash of the whole
+`trx2dy` source tree plus the jax version, backend platform, and the
+flattened argument avals — any source edit, version bump, or shape change
+misses the cache and falls back to the normal trace path (which then
+refreshes the entry). Multi-device / explicitly-sharded arguments always
+use the plain path: exported modules pin the lowering-time shardings, and
+the production single-chip paths are where the fixed cost hurts.
+
+Note the XLA compile cache key of the deserialized call wrapper differs
+from the plain jit's, so the FIRST AOT-enabled run per machine recompiles
+the family (minutes on TPU) — after that both layers are warm. That is
+why this stays opt-in for batch/pipeline entry points rather than default
+for one-off scripts.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import threading
+
+_ENABLED = os.environ.get("TRX2DY_AOT_CACHE", "") not in ("", "0")
+_DEFAULT_DIR = "/tmp/trx2dy_aot_cache"
+_lock = threading.Lock()
+_mem: dict = {}          # key -> (callable, in_tree, out_treedef)
+_src_hash: str | None = None
+
+
+def enable(path: str | None = None) -> None:
+    global _ENABLED
+    _ENABLED = True
+    if path is not None:
+        os.environ["TRX2DY_AOT_CACHE_DIR"] = path
+
+
+def enabled() -> bool:
+    return _ENABLED
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("TRX2DY_AOT_CACHE_DIR", _DEFAULT_DIR)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _source_hash() -> str:
+    """Content hash of every trx2dy .py file: ANY source edit invalidates
+    the whole AOT cache (the artifacts encode compiled numerics)."""
+    global _src_hash
+    if _src_hash is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.blake2b(digest_size=16)
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(p.encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _src_hash = h.hexdigest()
+    return _src_hash
+
+
+def _single_device_ok(leaves) -> bool:
+    """Plain-path gate: exported modules bake lowering-time shardings, so
+    any argument committed across >1 device (the 8-device test mesh, the
+    multichip dryrun's dp-sharded batches) keeps the normal jit path;
+    production single-chip args — host numpy or single-device-committed —
+    are where the fixed cost is."""
+    for leaf in leaves:
+        s = getattr(leaf, "sharding", None)
+        if s is not None and getattr(s, "num_devices", 1) != 1:
+            return False
+    return True
+
+
+def aot_call(name: str, fn, args: tuple, kwargs: dict | None = None,
+             static_key: str = ""):
+    """Run `fn(*args, **kwargs)` through the AOT trace cache.
+
+    fn must be traceable (a jitted function is fine — it inlines) and PURE
+    in its array arguments; `static_key` must fingerprint every non-array
+    configuration baked into fn (the caller's static_argnames values).
+    args/kwargs may be arbitrary pytrees (None leaves fine). Returns fn's
+    pytree result. Any cache trouble falls back to the plain call —
+    behavior is identical either way, only trace cost differs.
+    """
+    import jax
+
+    kwargs = kwargs or {}
+    flat, in_tree = jax.tree.flatten((args, kwargs))
+    if not _ENABLED or not _single_device_ok(flat):
+        return fn(*args, **kwargs)
+
+    import numpy as np
+
+    avals = tuple((np.shape(x), str(getattr(x, "dtype", type(x).__name__)))
+                  for x in flat)
+    platform = jax.devices()[0].platform
+    raw = repr((name, static_key, avals, platform, jax.__version__,
+                _source_hash(), str(in_tree))).encode()
+    key = hashlib.blake2b(raw, digest_size=16).hexdigest()
+
+    with _lock:
+        hit = _mem.get(key)
+    if hit is None:
+        try:
+            hit = _load_or_build(key, name, fn, in_tree, flat)
+        except Exception:
+            return fn(*args, **kwargs)
+        with _lock:
+            _mem[key] = hit
+    call, out_tree = hit
+    return jax.tree.unflatten(out_tree, call(*flat))
+
+
+def _load_or_build(key, name, fn, in_tree, flat):
+    import jax
+    from jax import export as jex
+
+    path = os.path.join(_cache_dir(), f"{name}-{key}")
+    if os.path.exists(path + ".jaxexp") and os.path.exists(path + ".tree"):
+        try:
+            with open(path + ".jaxexp", "rb") as f:
+                exp = jex.deserialize(bytearray(f.read()))
+            with open(path + ".tree", "rb") as f:
+                out_tree = pickle.load(f)
+            return jax.jit(exp.call), out_tree
+        except Exception:
+            pass                 # stale/corrupt artifact: rebuild below
+
+    out_box = []
+
+    def flat_fn(*leaves):
+        a, kw = jax.tree.unflatten(in_tree, leaves)
+        leaves_out, tree = jax.tree.flatten(fn(*a, **kw))
+        out_box.append(tree)
+        return leaves_out
+
+    exp = jex.export(jax.jit(flat_fn))(*flat)
+    out_tree = out_box[-1]
+    try:
+        blob = exp.serialize()
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp + ".tree", "wb") as f:
+            pickle.dump(out_tree, f)
+        with open(tmp + ".jaxexp", "wb") as f:
+            f.write(blob)
+        # .tree lands first: a crash between the two replaces leaves no
+        # half entry (_load_or_build requires both files)
+        os.replace(tmp + ".tree", path + ".tree")
+        os.replace(tmp + ".jaxexp", path + ".jaxexp")
+    except Exception:
+        # unserializable entry: still usable within this process
+        pass
+    return jax.jit(exp.call), out_tree
