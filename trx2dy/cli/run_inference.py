@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pad targets to multiples of this length so batch "
                         "targets share compiled fold programs (default: 32 "
                         "in batch mode, off in single mode)")
+    p.add_argument("--aot_cache", action="store_true",
+                   help="serve the fold program family from the on-disk AOT "
+                        "trace cache (utils/aot.py): repeat pipeline runs "
+                        "skip ~60 s/process of jit tracing. The FIRST run "
+                        "with this flag recompiles the family (minutes), so "
+                        "it pays off for recurring/batch production use")
     return p
 
 
@@ -61,6 +67,9 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from trx2dy.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    if args.aot_cache:
+        from trx2dy.utils import aot
+        aot.enable()
     from trx2dy.dynamics.driver import DynamicsConfig, run_single
 
     len_bucket = args.len_bucket
