@@ -40,9 +40,11 @@ N_DECOYS = 50
 BASELINE_DECOYS_PER_MIN = 1.2   # measured 1-CPU-core rate (see above)
 
 
-def synth_target_npz(L: int, seed: int = 0) -> dict:
+def synth_target_npz(L: int, seed: int = 0):
     """Histograms measured from a deterministic basin-sampled structure,
-    smoothed along bins to imitate softmaxed network output."""
+    smoothed along bins to imitate softmaxed network output. Also returns
+    the generator structure's CA coordinates — the ground truth the
+    restraints encode — so the bench can score what it folded."""
     from trx2dy.physics.folder import random_torsions
     from trx2dy.geometry.nerf import build_backbone
     from trx2dy.geometry.transforms import geometry_maps_6d
@@ -61,7 +63,7 @@ def synth_target_npz(L: int, seed: int = 0) -> dict:
         h = gaussian_smooth_bins(h, sigma=1.5)
         h = h + 0.02 / h.shape[-1]
         out[k] = np.asarray(h / h.sum(-1, keepdims=True), np.float32)
-    return out
+    return out, np.asarray(atoms["CA"])
 
 
 def _init_backend(attempts: int = 3, backoff_s: float = 30.0):
@@ -107,7 +109,7 @@ def main() -> None:
 
     from trx2dy.physics.folder import fold_ensemble
 
-    npz = synth_target_npz(L)
+    npz, native_ca = synth_target_npz(L)
     seq = ("ARNDCQEGHILKMFPSTWYV" * 8)[:L]
 
     def run(key):
@@ -133,6 +135,25 @@ def main() -> None:
     if not bool(np.isfinite(np.asarray(res.energy)).all()):
         _fail("validation", RuntimeError("non-finite decoy energies"))
 
+    # Quality rides INSIDE the bench artifact (VERDICT r3 item 4): TM of
+    # every timed decoy vs the generator structure the restraints encode,
+    # so an optimization that corrupts decoys cannot ship a green BENCH.
+    # Floor set from the seed study (scripts/bench_quality_seeds.py).
+    try:
+        from trx2dy.analysis.tmscore import tm_score_batch
+        # jit: eager per-op dispatch over the axon tunnel is pathologically
+        # slow (CLAUDE.md); one compiled program scores all 50 decoys
+        tms = np.asarray(jax.jit(tm_score_batch)(
+            res.atoms["CA"], jnp.asarray(native_ca)).tm)
+        quality = {"best_tm": round(float(tms.max()), 4),
+                   "mean_tm": round(float(tms.mean()), 4)}
+    except Exception as e:                      # noqa: BLE001
+        _fail("quality_score", e)
+    if quality["best_tm"] < 0.85:
+        _fail("quality_floor", RuntimeError(
+            f"best TM {quality['best_tm']} < 0.85 floor — the timed "
+            f"protocol no longer recovers the generator structure"))
+
     decoys_per_min = N_DECOYS / (dt / 60.0)
     print(json.dumps({
         "metric": f"minimized decoys/min/chip (L={L}, full protocol, "
@@ -140,6 +161,7 @@ def main() -> None:
         "value": round(decoys_per_min, 2),
         "unit": "decoys/min",
         "vs_baseline": round(decoys_per_min / BASELINE_DECOYS_PER_MIN, 1),
+        "quality": quality,
     }))
 
 

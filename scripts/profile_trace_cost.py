@@ -16,10 +16,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# setdefault would NOT override the harness's exported JAX_PLATFORMS=axon,
+# and this host-only profile must never grab the single-tenant TPU tunnel.
+os.environ.pop("JAX_PLATFORMS", None)
 
 import numpy as np
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from trx2dy.physics.restraints import (

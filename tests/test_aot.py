@@ -1,6 +1,8 @@
 """AOT trace cache (utils/aot.py): numerics identical to the plain jit
-path, disk round-trip works without re-export, staleness key behavior."""
+path, disk round-trip works without re-export, staleness key behavior,
+failure negative-caching, and the end-to-end staged-pipeline contract."""
 import os
+import warnings
 
 import numpy as np
 import jax
@@ -82,6 +84,116 @@ def test_source_hash_in_key(aot_on, monkeypatch):
     monkeypatch.setattr(aot, "_mem", {})
     F._stage_init(x, cr, None, w, freeze, nm=0)
     assert len(os.listdir(aot_on)) > n0   # stale key missed -> new entry
+
+
+def test_export_failure_negative_cached(aot_on, monkeypatch):
+    """An unexportable program must fail ONCE (with a warning), then take
+    the plain path without re-paying trace+lower per call (ADVICE r3)."""
+    from jax import export as jex
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("custom call off the allowlist")
+
+    monkeypatch.setattr(jex, "export", boom)
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.arange(4.0)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        r1 = aot.aot_call("negcache", f, (x,))
+        r2 = aot.aot_call("negcache", f, (x,))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(x) * 2)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(x) * 2)
+    assert calls["n"] == 1, "second call re-paid the failed export"
+    msgs = [str(w.message) for w in rec
+            if "AOT cache disabled" in str(w.message)]
+    assert len(msgs) == 1 and "negcache" in msgs[0]
+
+
+def test_call_time_failure_evicts_and_falls_back(aot_on):
+    """An artifact that deserializes but dies at call time must be evicted
+    (mem + disk) and the plain jit path used instead (ADVICE r3)."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.arange(3.0)
+    aot.aot_call("rotted", f, (x,))
+    entries = [(k, v) for k, v in aot._mem.items() if v is not aot._FAILED]
+    assert len(entries) == 1
+    key, (_call, tree) = entries[0]
+
+    def bomb(*a):
+        raise RuntimeError("jaxlib changed under the artifact")
+
+    aot._mem[key] = (bomb, tree)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        r = aot.aot_call("rotted", f, (x,))
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(x) + 1)
+    assert aot._mem[key] is aot._FAILED
+    assert not any(n.endswith(".jaxexp") for n in os.listdir(aot_on))
+    assert any("failed at call time" in str(w.message) for w in rec)
+
+
+def test_python_leaf_values_keyed(aot_on):
+    """Value-bearing Python leaves must be part of the key: two calls that
+    differ only in a scalar config leaf may not share a cache entry."""
+    def f(x, s):
+        return x * s
+
+    x = jnp.arange(3.0)
+    r2 = aot.aot_call("pyleaf", f, (x, 2.0))
+    r3 = aot.aot_call("pyleaf", f, (x, 3.0))
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(x) * 2)
+    np.testing.assert_array_equal(np.asarray(r3), np.asarray(x) * 3)
+    keys = [k for k, v in aot._mem.items() if v is not aot._FAILED]
+    assert len(set(keys)) == 2
+
+
+def test_cache_dir_refuses_unsafe_permissions(tmp_path, monkeypatch):
+    """A group/other-writable cache dir must be refused — the .tree
+    artifact is unpickled from it (ADVICE r3 security finding)."""
+    d = tmp_path / "loose"
+    d.mkdir()
+    os.chmod(d, 0o777)
+    monkeypatch.setenv("TRX2DY_AOT_CACHE_DIR", str(d))
+    with pytest.raises(RuntimeError, match="private"):
+        aot._cache_dir()
+
+
+def test_staged_pipeline_aot_bitidentical(aot_on):
+    """VERDICT r3 item 7: drive the STAGED PIPELINE (a tiny fold_chains)
+    through the AOT path and assert bit-identical results vs plain jit."""
+    from trx2dy.physics.folder import fold_chains
+
+    rng = np.random.default_rng(7)
+    L = 24
+    seq = ("ARNDCQEGHILKMFPSTWYV" * 2)[:L]
+    npzs = []
+    for _ in range(2):
+        d = {}
+        for k, nb in (("dist", 37), ("omega", 25), ("theta", 25),
+                      ("phi", 13)):
+            h = rng.random((L, L, nb)).astype(np.float32)
+            d[k] = h / h.sum(-1, keepdims=True)
+        npzs.append(d)
+    kwargs = dict(mode=2, fastrelax=False, max_iter=40, cart_refine=False)
+    key = jax.random.PRNGKey(3)
+
+    aot._ENABLED = False
+    try:
+        plain = fold_chains(npzs, seq, key, **kwargs)
+    finally:
+        aot._ENABLED = True
+    cached = fold_chains(npzs, seq, key, **kwargs)
+    # entries were actually created for the stage family
+    assert any(n.startswith(("stage_init", "stage_run"))
+               for n in os.listdir(aot_on))
+    np.testing.assert_array_equal(np.asarray(plain.energy),
+                                  np.asarray(cached.energy))
+    for k in plain.atoms:
+        np.testing.assert_array_equal(np.asarray(plain.atoms[k]),
+                                      np.asarray(cached.atoms[k]))
 
 
 def test_sharded_args_fall_back_to_plain_jit(aot_on, monkeypatch):

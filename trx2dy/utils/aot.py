@@ -29,12 +29,23 @@ import hashlib
 import os
 import pickle
 import threading
+import warnings
 
 _ENABLED = os.environ.get("TRX2DY_AOT_CACHE", "") not in ("", "0")
-_DEFAULT_DIR = "/tmp/trx2dy_aot_cache"
 _lock = threading.Lock()
-_mem: dict = {}          # key -> (callable, in_tree, out_treedef)
+_mem: dict = {}          # key -> (callable, out_treedef) | _FAILED sentinel
+_FAILED = object()       # negative-cache entry: export failed once, don't
+                         # re-pay trace+lower on every chunked call
 _src_hash: str | None = None
+
+
+def _default_dir() -> str:
+    # Private per-user location (NOT world-writable /tmp): the .tree
+    # artifact is unpickled at load time, so the directory must not be
+    # plantable by another local user.
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "trx2dy_aot")
 
 
 def enable(path: str | None = None) -> None:
@@ -49,8 +60,14 @@ def enabled() -> bool:
 
 
 def _cache_dir() -> str:
-    d = os.environ.get("TRX2DY_AOT_CACHE_DIR", _DEFAULT_DIR)
-    os.makedirs(d, exist_ok=True)
+    d = os.environ.get("TRX2DY_AOT_CACHE_DIR", _default_dir())
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        # pre-created by someone else, or group/other-writable: refuse to
+        # unpickle from it (a planted .tree would execute arbitrary code)
+        raise RuntimeError(f"AOT cache dir {d!r} is not a private "
+                           f"user-owned directory")
     return d
 
 
@@ -105,25 +122,65 @@ def aot_call(name: str, fn, args: tuple, kwargs: dict | None = None,
         return fn(*args, **kwargs)
 
     import numpy as np
+    import jaxlib
 
-    avals = tuple((np.shape(x), str(getattr(x, "dtype", type(x).__name__)))
-                  for x in flat)
+    def _aval(x):
+        # Arrays key on (shape, dtype); value-bearing Python leaves (ints,
+        # floats, bools, strings, None) key on their VALUE — a call site
+        # passing a config scalar outside static_key must not collide.
+        if hasattr(x, "dtype") or isinstance(x, np.ndarray):
+            return (np.shape(x), str(x.dtype))
+        return ("pyleaf", repr(x))
+
+    avals = tuple(_aval(x) for x in flat)
     platform = jax.devices()[0].platform
+    numerics_cfg = (jax.config.jax_enable_x64,
+                    jax.config.jax_default_matmul_precision)
     raw = repr((name, static_key, avals, platform, jax.__version__,
+                getattr(jaxlib, "__version__", "?"), numerics_cfg,
                 _source_hash(), str(in_tree))).encode()
     key = hashlib.blake2b(raw, digest_size=16).hexdigest()
 
     with _lock:
         hit = _mem.get(key)
+    if hit is _FAILED:
+        return fn(*args, **kwargs)
     if hit is None:
         try:
             hit = _load_or_build(key, name, fn, in_tree, flat)
-        except Exception:
+        except Exception as e:                  # noqa: BLE001
+            # Negative-cache the failure: without this, fused stage
+            # programs whose export raises (e.g. custom calls off the
+            # jax.export allowlist) would re-pay a full trace+lower on
+            # EVERY chunked call — far slower than cache-off.
+            with _lock:
+                first = _mem.get(key) is not _FAILED
+                _mem[key] = _FAILED
+            if first:
+                warnings.warn(f"AOT cache disabled for program {name!r}: "
+                              f"{type(e).__name__}: {e}", stacklevel=2)
             return fn(*args, **kwargs)
         with _lock:
             _mem[key] = hit
     call, out_tree = hit
-    return jax.tree.unflatten(out_tree, call(*flat))
+    try:
+        out = call(*flat)
+    except Exception as e:                      # noqa: BLE001
+        # A deserialized artifact can fail at CALL time (jaxlib-only
+        # rebuild, platform quirk): evict it and run the plain path
+        # rather than breaking a run that works with the cache off.
+        with _lock:
+            _mem[key] = _FAILED
+        for ext in (".jaxexp", ".tree"):
+            try:
+                os.remove(os.path.join(_cache_dir(), f"{name}-{key}{ext}"))
+            except OSError:
+                pass
+        warnings.warn(f"AOT artifact for {name!r} failed at call time "
+                      f"({type(e).__name__}: {e}); evicted, using plain "
+                      f"jit path", stacklevel=2)
+        return fn(*args, **kwargs)
+    return jax.tree.unflatten(out_tree, out)
 
 
 def _load_or_build(key, name, fn, in_tree, flat):
