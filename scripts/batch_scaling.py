@@ -31,7 +31,7 @@ def main():
     from trx2dy.physics.folder import fold_ensemble
 
     L = args.L
-    npz = synth_target_npz(L, seed=0)
+    npz, _ = synth_target_npz(L, seed=0)
     seq = "A" * L
     for B in args.B:
         # one warm-up fold at tiny budget to absorb compiles for this B

@@ -39,7 +39,7 @@ def main():
     from trx2dy.physics.folder import fold_ensemble
 
     L = args.L
-    npz = synth_target_npz(L, seed=0)
+    npz, _ = synth_target_npz(L, seed=0)
     seq = "A" * L
 
     # compile warm-up: max_iter=STAGE_CHUNK produces exactly the chunk

@@ -48,7 +48,7 @@ def main():
     )
 
     B, L = args.B, args.L
-    npz = synth_target_npz(L, seed=0)
+    npz, _ = synth_target_npz(L, seed=0)
     seq = "A" * L
     params = FoldParams()
     rst_dense = compile_restraints(npz, params, use_orient=True)
