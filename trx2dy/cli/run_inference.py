@@ -40,11 +40,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_iter", type=int, default=1000,
                    help="L-BFGS iteration cap per minimization stage")
-    p.add_argument("--n_chains", type=int, default=4,
+    p.add_argument("--n_chains", type=int, default=8,
                    help="parallel dampening chains per model (batched as "
-                        "one device program per step; 1 + "
-                        "--no-combine_models = the reference's sequential "
-                        "sampler)")
+                        "one device program per step; default 8 = the "
+                        "measured single-chip sweet spot, EXAMPLE_RESULTS; "
+                        "1 + --no-combine_models = the reference's "
+                        "sequential sampler)")
+    p.add_argument("--chain_candidates", type=int, default=None,
+                   help="best-of-N candidate lanes folded per chain step "
+                        "(default: DynamicsConfig's 2). 1 disables per-step "
+                        "energy gating; with n_chains high enough to fill "
+                        "the lane bucket this doubles emitted decoys per "
+                        "fold at the same device cost")
     p.add_argument("--combine_models", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="fold the NMR and X-ray models' chains in ONE "
@@ -75,13 +82,20 @@ def main(argv=None) -> None:
     len_bucket = args.len_bucket
     if len_bucket is None:
         len_bucket = 32 if args.name_lst else 0
+    extra = {}
+    if args.chain_candidates is not None:
+        extra["chain_candidates"] = args.chain_candidates
+        if args.chain_candidates == 1:
+            # an explicit 1 means "32 emits per 32-lane fold", so don't
+            # let the bucket filler silently restore best-of folding
+            extra["fill_candidates"] = False
     cfg = DynamicsConfig(init_num=args.init_num, Nmax=args.Nmax,
                          angle=args.angle,
                          mult_two_models=args.mult_two_models,
                          seed=args.seed, max_iter=args.max_iter,
                          n_chains=args.n_chains,
                          combine_models=args.combine_models,
-                         len_bucket=len_bucket)
+                         len_bucket=len_bucket, **extra)
 
     if args.name_lst:
         if not args.fasta_dir or not args.msa_dir:
@@ -89,12 +103,15 @@ def main(argv=None) -> None:
                 "batch mode requires --fasta_dir, --msa_dir, --name_lst")
         with open(args.name_lst) as f:
             names = [ln.strip() for ln in f if ln.strip()]
+        import time
         for name in names:
+            t0 = time.time()
             run_single(name, os.path.join(args.fasta_dir, name + ".fasta"),
                        os.path.join(args.msa_dir, name + ".a3m"),
                        args.save_dir, cfg, npz_dir=args.npz_dir,
                        model_dir=args.model_dir)
-            print(f"[trx2dy] {name} done")
+            print(f"[trx2dy] {name} done ({time.time() - t0:.1f}s)",
+                  flush=True)
     else:
         if not args.fasta or not args.name:
             raise SystemExit("single mode requires --fasta and --name")

@@ -80,7 +80,13 @@ class DynamicsConfig:
     # same kind of dampening-driven ensemble ~K times faster in wall-clock.
     # n_chains=1 with combine_models=False reproduces the reference's exact
     # sequential behavior (and its per-file resume contract).
-    n_chains: int = 4
+    # Default 8 from the r4 A/B on the bundled 100-decoy example (warm,
+    # AOT on): K=4 5.8, K=8 13.0-17.4, K=16 9.3 decoys/min e2e — K=8's
+    # 2xK=4 chains double emits per 32-lane step at the same device cost;
+    # K=16 crosses into the 64-lane bucket whose step costs ~2x. Per-decoy
+    # TM distributions are flat-to-better in K across 1/4/8/16
+    # (EXAMPLE_RESULTS.md chain-fidelity table).
+    n_chains: int = 8
     # Batch the NMR and X-ray samplers into ONE device program per step
     # (TPU throughput redesign): the reference runs the two models strictly
     # serially (run_inference.py:298-302 then :334-339), which leaves the
