@@ -3,8 +3,9 @@
 Runs the exact bench workload (L=150, B=50, full staged protocol with
 relax + cartesian refinement) over N seeds of the fold RNG and prints the
 per-seed best/mean TM vs the generator structure the restraints encode.
-The bench.py floor (best TM >= 0.85) is set from the measured minimum
-across seeds minus noise margin; re-run this if the protocol changes.
+bench.py's shipped floors (best TM >= 0.70, mean TM >= 0.55 — see the
+quality_floor check there) are set from the measured minimum across seeds
+minus a noise margin; re-run this if the protocol changes.
 
 Intended for TPU (one serial process — the axon tunnel is single-tenant):
     python scripts/bench_quality_seeds.py --seeds 5

@@ -150,6 +150,27 @@ def test_python_leaf_values_keyed(aot_on):
     assert len(set(keys)) == 2
 
 
+def test_object_leaves_bypass_cache(aot_on):
+    """Object leaves with address-bearing reprs must NOT be value-keyed:
+    each call would mint a fresh key, paying a full export + writing a new
+    artifact every call (ADVICE r4). Such calls run the plain path, with a
+    one-time warning, and produce correct results."""
+    class Cfg:          # default repr carries the object address
+        scale = 2.0
+
+    def f(x, cfg):
+        return x * cfg.scale
+
+    x = jnp.arange(3.0)
+    n_before = len(aot._mem)
+    with pytest.warns(UserWarning, match="bypassed"):
+        r = aot.aot_call("objleaf", f, (x, Cfg()))
+    r2 = aot.aot_call("objleaf", f, (x, Cfg()))   # no second warning
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(x) * 2)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(x) * 2)
+    assert len(aot._mem) == n_before              # no entries minted
+
+
 def test_cache_dir_refuses_unsafe_permissions(tmp_path, monkeypatch):
     """A group/other-writable cache dir must be refused — the .tree
     artifact is unpickled from it (ADVICE r3 security finding)."""

@@ -344,6 +344,49 @@ class TestResumeAndBatch:
             assert any(p.startswith("conf_1") for p in pdbs), name
 
 
+class TestCandidatesCLIContract:
+    """An explicit --chain_candidates value is a contract (ADVICE r4): the
+    bucket filler must not silently raise it, and the quality-trading
+    value 1 warns on stderr (VERDICT r4 item 7)."""
+
+    def _run_cli(self, tmp_path, argv_extra, capsys):
+        from trx2dy.cli import run_inference as cli
+        from trx2dy.dynamics import driver as drv
+        captured = {}
+
+        def fake_run_single(name, fasta, msa, save_dir, cfg, **kw):
+            captured["cfg"] = cfg
+            return save_dir
+
+        orig = drv.run_single
+        drv.run_single = fake_run_single
+        try:
+            (tmp_path / "t.fasta").write_text(">t\nARND\n")
+            cli.main(["--fasta", str(tmp_path / "t.fasta"), "--name", "t",
+                      "--save_dir", str(tmp_path / "out")] + argv_extra)
+        finally:
+            drv.run_single = orig
+        return captured["cfg"], capsys.readouterr().err
+
+    def test_explicit_candidates_disable_fill(self, tmp_path, capsys):
+        cfg, err = self._run_cli(tmp_path, ["--chain_candidates", "2"],
+                                 capsys)
+        assert cfg.chain_candidates == 2
+        assert cfg.fill_candidates is False       # honored exactly
+        assert "energy gating" not in err         # no warning for N>1
+
+    def test_candidates_one_warns(self, tmp_path, capsys):
+        cfg, err = self._run_cli(tmp_path, ["--chain_candidates", "1"],
+                                 capsys)
+        assert cfg.chain_candidates == 1
+        assert cfg.fill_candidates is False
+        assert "disables per-step energy gating" in err
+
+    def test_default_keeps_fill(self, tmp_path, capsys):
+        cfg, err = self._run_cli(tmp_path, [], capsys)
+        assert cfg.fill_candidates is True        # None opts into filling
+
+
 class TestFullAtomOutput:
     def test_driver_emits_full_atom_pdbs(self, tmp_path):
         """With full_atom on, decoys carry sidechain heavy atoms

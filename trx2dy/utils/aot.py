@@ -37,6 +37,7 @@ _mem: dict = {}          # key -> (callable, out_treedef) | _FAILED sentinel
 _FAILED = object()       # negative-cache entry: export failed once, don't
                          # re-pay trace+lower on every chunked call
 _src_hash: str | None = None
+_unkeyable_warned: set = set()   # program names warned about object leaves
 
 
 def _default_dir() -> str:
@@ -124,15 +125,31 @@ def aot_call(name: str, fn, args: tuple, kwargs: dict | None = None,
     import numpy as np
     import jaxlib
 
+    _VALUE_LEAVES = (int, float, bool, str, bytes, type(None))
+
     def _aval(x):
-        # Arrays key on (shape, dtype); value-bearing Python leaves (ints,
-        # floats, bools, strings, None) key on their VALUE — a call site
-        # passing a config scalar outside static_key must not collide.
+        # Arrays key on (shape, dtype); value-bearing Python scalars key on
+        # their VALUE — a call site passing a config scalar outside
+        # static_key must not collide. Other objects raise: a default
+        # address-bearing repr (<Foo object at 0x..>) would produce a NEW
+        # key on every call, so every call would pay a full export + write
+        # a fresh artifact — quietly slower than cache-off with unbounded
+        # disk growth. Such leaves use the plain path instead (below).
         if hasattr(x, "dtype") or isinstance(x, np.ndarray):
             return (np.shape(x), str(x.dtype))
-        return ("pyleaf", repr(x))
+        if isinstance(x, _VALUE_LEAVES):
+            return ("pyleaf", repr(x))
+        raise TypeError(f"unkeyable leaf {type(x).__name__}")
 
-    avals = tuple(_aval(x) for x in flat)
+    try:
+        avals = tuple(_aval(x) for x in flat)
+    except TypeError as e:
+        if name not in _unkeyable_warned:
+            _unkeyable_warned.add(name)
+            warnings.warn(f"AOT cache bypassed for program {name!r}: {e} "
+                          f"(object leaves cannot be stably keyed)",
+                          stacklevel=2)
+        return fn(*args, **kwargs)
     platform = jax.devices()[0].platform
     numerics_cfg = (jax.config.jax_enable_x64,
                     jax.config.jax_default_matmul_precision)
@@ -171,11 +188,19 @@ def aot_call(name: str, fn, args: tuple, kwargs: dict | None = None,
         # rather than breaking a run that works with the cache off.
         with _lock:
             _mem[key] = _FAILED
-        for ext in (".jaxexp", ".tree"):
-            try:
-                os.remove(os.path.join(_cache_dir(), f"{name}-{key}{ext}"))
-            except OSError:
-                pass
+        try:
+            # _cache_dir() itself can raise (dir deleted / repointed /
+            # permissions changed mid-run); artifact cleanup failing must
+            # still fall through to the plain call below — the documented
+            # "never wronger than plain jit" guarantee
+            d = _cache_dir()
+            for ext in (".jaxexp", ".tree"):
+                try:
+                    os.remove(os.path.join(d, f"{name}-{key}{ext}"))
+                except OSError:
+                    pass
+        except Exception:                       # noqa: BLE001
+            pass
         warnings.warn(f"AOT artifact for {name!r} failed at call time "
                       f"({type(e).__name__}: {e}); evicted, using plain "
                       f"jit path", stacklevel=2)
