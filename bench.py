@@ -19,7 +19,21 @@ structure (measured + binned + smoothed geometry of a realizable fold), so
 the restraint funnel is representative and self-contained — no network
 weights or external files needed.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Variance protocol (VERDICT r4 item 1 — one timed rep was hostage to
+tunnel/compile noise large enough to flip the headline verdict):
+  * N_REPS timed repetitions in ONE process, each with its own PRNG key;
+    the headline value is the MEDIAN and every rep is in the artifact.
+  * Warmup folds the SAME keys as the timed reps, so each rep's
+    converged-lane compaction-bucket program family (physics/folder.py
+    repacking — the bucket sequence is key-dependent) is compiled before
+    any timing starts.
+  * A jax.monitoring listener counts backend-compile events inside each
+    timed region ("compiles" per rep in the artifact): a healthy capture
+    shows 0 — any nonzero rep identifies itself instead of silently
+    halving the headline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"quality", "reps", ...}.
 """
 import json
 import os
@@ -38,6 +52,38 @@ enable_compilation_cache()
 L = 150
 N_DECOYS = 50
 BASELINE_DECOYS_PER_MIN = 1.2   # measured 1-CPU-core rate (see above)
+REP_KEYS = (1, 2, 3)            # timed reps; warmup covers the same keys
+
+
+class CompileCounter:
+    """Counts backend-compile events (jax.monitoring) so the artifact can
+    prove the timed region executed fully-warm programs."""
+
+    def __init__(self):
+        self.events = 0
+        self.secs = 0.0
+        self._on = False
+        from jax._src import monitoring
+        monitoring.register_event_duration_secs_listener(self._listen)
+
+    def _listen(self, name, secs, **kw):
+        if self._on and name.endswith("backend_compile_duration"):
+            self.events += 1
+            self.secs += secs
+
+    def region(self):
+        counter = self
+
+        class _Region:
+            def __enter__(self):
+                counter.events = 0
+                counter.secs = 0.0
+                counter._on = True
+                return counter
+
+            def __exit__(self, *a):
+                counter._on = False
+        return _Region()
 
 
 def synth_target_npz(L: int, seed: int = 0):
@@ -122,35 +168,60 @@ def main() -> None:
         np.asarray(res.atoms["CA"][0, 0])      # force through the tunnel
         return res
 
+    counter = CompileCounter()
+
+    # ---- warmup: fold every timed key once (untimed) --------------------
+    # Each key's run can take a DIFFERENT converged-lane compaction bucket
+    # sequence (folder repacking), i.e. a different set of program shapes;
+    # warming the exact keys guarantees the timed region is fully compiled.
+    warmup_s = []
     try:
-        run(jax.random.PRNGKey(0))              # compile + warm-up
+        for k in REP_KEYS:
+            t0 = time.time()
+            run(jax.random.PRNGKey(k))
+            warmup_s.append(round(time.time() - t0, 1))
     except Exception as e:                      # noqa: BLE001
         _fail("warmup_compile", e)
+
+    # ---- timed reps -----------------------------------------------------
+    reps, rep_compiles, rep_compile_s, results = [], [], [], []
     try:
-        t0 = time.time()
-        res = run(jax.random.PRNGKey(1))
-        dt = time.time() - t0
+        for k in REP_KEYS:
+            with counter.region():
+                t0 = time.time()
+                res = run(jax.random.PRNGKey(k))
+                dt = time.time() - t0
+            reps.append(round(N_DECOYS / (dt / 60.0), 2))
+            rep_compiles.append(counter.events)
+            rep_compile_s.append(round(counter.secs, 1))
+            results.append(res)
     except Exception as e:                      # noqa: BLE001
         _fail("timed_run", e)
-    if not bool(np.isfinite(np.asarray(res.energy)).all()):
-        _fail("validation", RuntimeError("non-finite decoy energies"))
+    for res in results:
+        if not bool(np.isfinite(np.asarray(res.energy)).all()):
+            _fail("validation", RuntimeError("non-finite decoy energies"))
 
     # Quality rides INSIDE the bench artifact (VERDICT r3 item 4): TM of
-    # every timed decoy vs the generator structure the restraints encode,
-    # so an optimization that corrupts decoys cannot ship a green BENCH.
-    # Floors from a 5-seed TPU study of THIS workload (2026-08-20,
-    # scripts/bench_quality_seeds.py): best TM 0.7499-0.7679, mean TM
-    # 0.6074-0.6285 (the random-basin generator target recovers lower
-    # than real natives, which fold at ~0.99 — EXAMPLE_RESULTS.md; it is
-    # a funnel-quality regression bar, not a native-recovery claim).
+    # every timed decoy of every rep vs the generator structure the
+    # restraints encode, so an optimization that corrupts decoys cannot
+    # ship a green BENCH. Floors from a 5-seed TPU study of THIS workload
+    # (2026-08-20, scripts/bench_quality_seeds.py): best TM 0.7499-0.7679,
+    # mean TM 0.6074-0.6285 (the random-basin generator target recovers
+    # lower than real natives, which fold at ~0.99 — EXAMPLE_RESULTS.md;
+    # it is a funnel-quality regression bar, not a native-recovery claim).
     try:
         from trx2dy.analysis.tmscore import tm_score_batch
         # jit: eager per-op dispatch over the axon tunnel is pathologically
         # slow (CLAUDE.md); one compiled program scores all 50 decoys
-        tms = np.asarray(jax.jit(tm_score_batch)(
-            res.atoms["CA"], jnp.asarray(native_ca)).tm)
-        quality = {"best_tm": round(float(tms.max()), 4),
-                   "mean_tm": round(float(tms.mean()), 4)}
+        score = jax.jit(tm_score_batch)
+        per_rep = []
+        for res in results:
+            tms = np.asarray(score(res.atoms["CA"],
+                                   jnp.asarray(native_ca)).tm)
+            per_rep.append({"best_tm": round(float(tms.max()), 4),
+                            "mean_tm": round(float(tms.mean()), 4)})
+        # floors apply to the WORST rep; headline quality = worst too
+        quality = min(per_rep, key=lambda q: (q["best_tm"], q["mean_tm"]))
     except Exception as e:                      # noqa: BLE001
         _fail("quality_score", e)
     if quality["best_tm"] < 0.70 or quality["mean_tm"] < 0.55:
@@ -159,14 +230,19 @@ def main() -> None:
             f"seed-min 0.7499/0.6074) — the timed protocol no longer "
             f"recovers the generator structure"))
 
-    decoys_per_min = N_DECOYS / (dt / 60.0)
+    decoys_per_min = float(np.median(reps))
     print(json.dumps({
         "metric": f"minimized decoys/min/chip (L={L}, full protocol, "
-                  f"batch={N_DECOYS})",
+                  f"batch={N_DECOYS}, median of {len(reps)} reps)",
         "value": round(decoys_per_min, 2),
         "unit": "decoys/min",
         "vs_baseline": round(decoys_per_min / BASELINE_DECOYS_PER_MIN, 1),
         "quality": quality,
+        "reps": reps,
+        "rep_quality": per_rep,
+        "compiles_in_timed_region": rep_compiles,
+        "compile_secs_in_timed_region": rep_compile_s,
+        "warmup_s": warmup_s,
     }))
 
 
