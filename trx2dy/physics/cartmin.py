@@ -151,6 +151,12 @@ def _cart_efun(atoms0: dict, tables, w_vec, kind: str,
             return compact_restraint_energy_lanes(
                 atoms_b, tables, w["atom_pair"], w["dihedral"], w["angle"],
                 dist_on_ca=dist_on_ca)
+        if kind == "union":
+            from trx2dy.physics.compact import compact_restraint_energy_union
+            ur, acts = tables
+            return compact_restraint_energy_union(
+                atoms_b, ur, acts, w["atom_pair"], w["dihedral"],
+                w["angle"], dist_on_ca=dist_on_ca)
         from trx2dy.physics.compact import compact_restraint_energy_batch
         return compact_restraint_energy_batch(
             atoms_b, tables, w["atom_pair"], w["dihedral"], w["angle"],
@@ -263,11 +269,16 @@ def _cart_run(state, atoms0, tables, w_vec, chunk, kind, dist_on_ca=False,
 
 
 def _table_kind(tables) -> str:
-    from trx2dy.physics.compact import CompactRestraints, CompactLanes
+    from trx2dy.physics.compact import (
+        CompactRestraints, CompactLanes, UnionRestraints,
+    )
     if isinstance(tables, CompactLanes):
         return "lanes"
     if isinstance(tables, CompactRestraints):
         return "compact"
+    if isinstance(tables, tuple) and len(tables) == 2 \
+            and isinstance(tables[0], UnionRestraints):
+        return "union"
     return "dense"
 
 
@@ -392,15 +403,16 @@ def cartesian_refine_lanes(atoms: dict, cl, w: EnergyWeights,
     matches the monolithic path."""
     from trx2dy.physics.folder import _batch_sharder
     put, _ = _batch_sharder(atoms["CA"])
+    kind = _table_kind(cl)      # CompactLanes or (UnionRestraints, acts)
     B, L, _ = atoms["N"].shape
     w_vec = weights_to_vec(w)
     delta = put(jnp.zeros((B, len(_ATOMS) * L * 3), atoms["CA"].dtype))
-    st = _cart_init(atoms, delta, cl, w_vec, "lanes",
+    st = _cart_init(atoms, delta, cl, w_vec, kind,
                         dist_on_ca, res_mask)
     remaining = max_iter
     while remaining > 0:
         st = _cart_run(st, atoms, cl, w_vec,
-                           min(CART_CHUNK, remaining), "lanes",
+                           min(CART_CHUNK, remaining), kind,
                            dist_on_ca, res_mask)
         remaining -= CART_CHUNK
         if bool(np.asarray(jnp.all(st.done))):

@@ -291,6 +291,115 @@ def compact_restraint_energy_lanes(atoms_b: dict, cl: CompactLanes,
     return e
 
 
+class UnionTerm(NamedTuple):
+    """One restraint term over a SHARED pair list with PER-LANE tables.
+
+    The chain-mode redesign of CompactTermLanes (VERDICT r4 items 2+3):
+    dampening chains share almost the same *active pair set* (activation
+    probabilities drift slowly) while their *table values* diverge — so the
+    pair indices are one (P,) list (the union of every lane's active pairs)
+    and only the spline tables carry the lane axis. Two wins over the
+    per-lane-list layout:
+
+      * atom selection becomes ONE pair-major one-hot matmul with all lanes
+        folded into the matmul's N dimension ((P, L) @ (L, C*9)) — the
+        per-lane formulation ran C matmuls at N=9, which tiles onto the
+        128-wide MXU at ~7% utilization;
+      * the pair list is lane-independent, so the whole table set can be
+        rebuilt ON DEVICE from dampened histograms each dynamics step
+        (physics/tablegen.py) with no host round trip.
+    """
+    i: jnp.ndarray    # (P,) int32 — shared across lanes
+    j: jnp.ndarray    # (P,) int32
+    y: jnp.ndarray    # (C, P, K) per-lane spline values
+    m: jnp.ndarray    # (C, P, K) per-lane second derivatives
+    x: jnp.ndarray    # (K,) shared knots
+
+
+class UnionRestraints(NamedTuple):
+    dist: UnionTerm
+    omega: UnionTerm
+    theta: UnionTerm
+    phi: UnionTerm
+
+
+class UnionActs(NamedTuple):
+    """Per-lane activation flags on the shared pair lists, one protocol
+    stage (the per-stage mask analog for UnionRestraints)."""
+    dist: jnp.ndarray   # (C, P) bool
+    omega: jnp.ndarray
+    theta: jnp.ndarray
+    phi: jnp.ndarray
+
+
+def union_take_lanes(ur: UnionRestraints, acts: UnionActs, sel,
+                     put=lambda a, axis=0: a):
+    """Gather surviving lanes (folder's converged-lane repacking): only the
+    per-lane leaves (y/m/act) carry the lane axis — i/j/x are shared."""
+    terms = [t._replace(y=put(jnp.take(t.y, sel, axis=0)),
+                        m=put(jnp.take(t.m, sel, axis=0))) for t in ur]
+    return (UnionRestraints(*terms),
+            UnionActs(*[put(jnp.take(a, sel, axis=0)) for a in acts]))
+
+
+def compact_restraint_energy_union(atoms_b: dict, ur: UnionRestraints,
+                                   acts: UnionActs,
+                                   w_atom_pair, w_dihedral, w_angle,
+                                   dist_on_ca: bool = False) -> jnp.ndarray:
+    """Chain-mode restraint energy over a shared pair list with per-lane
+    tables. atoms_b: dict of (C, L, 3). Returns (C,).
+
+    Atom selection is the batch path's pair-major one-hot matmul
+    (compact_restraint_energy_batch) with the LANE axis folded into the
+    matmul N dimension; spline evaluation is the per-lane-table evaluator
+    (masked_spline_energy_lanes) on the transposed (C, P) queries.
+    Per-pair numerics are identical to the per-lane-list path."""
+    from trx2dy.physics.spline import masked_spline_energy_lanes
+
+    n_b, ca_b, cb_b = atoms_b["N"], atoms_b["CA"], atoms_b["CB"]
+    C, L, _ = ca_b.shape
+    A = jnp.concatenate([n_b, ca_b, cb_b], axis=-1)       # (C, L, 9)
+    A = jnp.transpose(A, (1, 0, 2)).reshape(L, C * 9)
+
+    def side(idx):
+        sel = jax.nn.one_hot(idx, L, dtype=A.dtype)       # (P, L)
+        picked = jnp.matmul(sel, A, precision=_HI)        # (P, C*9)
+        picked = picked.reshape(idx.shape[0], C, 3, 3)
+        return picked[:, :, 0], picked[:, :, 1], picked[:, :, 2]
+
+    t = ur.dist
+    n_i, ca_i, cb_i = side(t.i)
+    n_j, ca_j, cb_j = side(t.j)
+    pi = ca_i if dist_on_ca else cb_i
+    pj = ca_j if dist_on_ca else cb_j
+    dvec = pi - pj
+    q = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1) + 1e-12)   # (P, C)
+    e = w_atom_pair * masked_spline_energy_lanes(t.y, t.m, t.x, q.T,
+                                                 acts.dist)
+
+    t = ur.omega
+    _, ca_i, cb_i = side(t.i)
+    _, ca_j, cb_j = side(t.j)
+    q = dihedral(ca_i, cb_i, cb_j, ca_j)
+    e = e + w_dihedral * masked_spline_energy_lanes(t.y, t.m, t.x, q.T,
+                                                    acts.omega)
+
+    t = ur.theta
+    n_i, ca_i, cb_i = side(t.i)
+    _, _, cb_j = side(t.j)
+    q = dihedral(n_i, ca_i, cb_i, cb_j)
+    e = e + w_dihedral * masked_spline_energy_lanes(t.y, t.m, t.x, q.T,
+                                                    acts.theta)
+
+    t = ur.phi
+    _, ca_i, cb_i = side(t.i)
+    _, _, cb_j = side(t.j)
+    q = bond_angle(ca_i, cb_i, cb_j)
+    e = e + w_angle * masked_spline_energy_lanes(t.y, t.m, t.x, q.T,
+                                                 acts.phi)
+    return e
+
+
 def compact_restraint_energy_batch(atoms_b: dict, cr: CompactRestraints,
                                    w_atom_pair, w_dihedral, w_angle,
                                    dist_on_ca: bool = False) -> jnp.ndarray:

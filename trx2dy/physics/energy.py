@@ -392,6 +392,33 @@ def batched_energy_weighted_lanes(x: jnp.ndarray, cl,
         atoms_b, cl, w["atom_pair"], w["dihedral"], w["angle"], dist_on_ca)
 
 
+def batched_energy_weighted_union(x: jnp.ndarray, ur, acts,
+                                  w_vec: jnp.ndarray,
+                                  dist_on_ca: bool = False,
+                                  res_mask=None) -> jnp.ndarray:
+    """(C, 3L) -> (C,) chain-mode energies over a SHARED pair list with
+    per-lane tables (compact.UnionRestraints — the device-resident chain
+    path, folder.fold_chains_pool)."""
+    from trx2dy.physics.compact import compact_restraint_energy_union
+
+    w = dict(zip(WEIGHT_FIELDS, w_vec))
+    C = x.shape[0]
+    t = x.reshape(C, 3, -1)
+    atoms_b = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t)
+
+    def base(tt, atoms):
+        e = w["vdw"] * vdw_energy(atoms, res_mask)
+        e = e + w["rama"] * rama_energy(tt[0], tt[1], res_mask)
+        e = e + w["omega"] * omega_planarity_energy(tt[2], res_mask)
+        return e + hbond_energy(atoms, w["cen_hb"] + w["hbond_sr"],
+                                w["cen_hb"] + w["hbond_lr"], res_mask)
+
+    e_base = jax.vmap(base)(t, atoms_b)
+    return e_base + compact_restraint_energy_union(
+        atoms_b, ur, acts, w["atom_pair"], w["dihedral"], w["angle"],
+        dist_on_ca)
+
+
 def pose_base_and_geometry(torsions: jnp.ndarray, w_vec: jnp.ndarray,
                            dist_on_ca: bool = False):
     """Per-decoy non-restraint energy + the four geometry query maps.

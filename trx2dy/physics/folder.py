@@ -41,7 +41,7 @@ from trx2dy.physics.energy import (
     EnergyWeights, SCOREFXN_CENT, SCOREFXN1, SCOREFXN_VDW, SCOREFXN_CART,
     pose_energy, pose_energy_weighted, pose_energy_weighted_compact,
     batched_energy_weighted_compact, batched_energy_weighted_lanes,
-    weights_to_vec, batched_energy_fused,
+    batched_energy_weighted_union, weights_to_vec, batched_energy_fused,
 )
 from trx2dy.physics.restraints import (
     FoldParams, RestraintSet, RestraintMasks, compile_restraints,
@@ -382,9 +382,16 @@ def _project_torsions_jit(x, atoms):
 
 def _weighted_fun(rst, masks, w_vec, dist_on_ca, multi, remat=False,
                   fused=False, res_mask=None):
-    from trx2dy.physics.compact import CompactRestraints, CompactLanes
+    from trx2dy.physics.compact import (
+        CompactRestraints, CompactLanes, UnionRestraints,
+    )
 
-    if isinstance(rst, CompactRestraints):
+    if isinstance(rst, UnionRestraints):
+        # chain mode, shared pair list + per-lane tables (masks = UnionActs)
+        def fun(xx):
+            return batched_energy_weighted_union(xx, rst, masks, w_vec,
+                                                 dist_on_ca, res_mask)
+    elif isinstance(rst, CompactRestraints):
         # compacted active-pair path (masks are baked into the pair lists)
         def fun(xx):
             return batched_energy_weighted_compact(xx, rst, w_vec,
@@ -545,7 +552,8 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
     # regime: only ~18-40% of pairs are active — physics.compact). Chain
     # mode passes pre-built CompactLanes from fold_chains.
     from trx2dy.physics.compact import (
-        compact_restraints, CompactRestraints, CompactLanes,
+        compact_restraints, CompactRestraints, CompactLanes, UnionActs,
+        UnionRestraints, union_take_lanes,
     )
 
     def _as_arg(m):
@@ -553,6 +561,10 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         # device transfer here per program family, so the chunked
         # _stage_run_jit calls pass device handles (re-transferring the
         # tables per 250-iteration chunk would cost ~1.3 ms/MB per call)
+        if isinstance(m, UnionActs):
+            # device path (fold_chains_pool): tables already on device,
+            # shared across families — stage arg = (UnionRestraints, acts)
+            return (rst, m)
         if isinstance(m, (CompactRestraints, CompactLanes)):
             return (jax.tree.map(jnp.asarray, m), None)
         if not multi_rst and not fused:
@@ -599,6 +611,12 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                         # round-tripping (M, P, K) tables through the host
                         # costs ~ms/MB each way over the remote-TPU tunnel
                         sel_dev = jnp.asarray(sel)
+                        if isinstance(rst_c, UnionRestraints):
+                            # only y/m/act carry the lane axis; the pair
+                            # list is shared
+                            rst_c, masks_c = union_take_lanes(
+                                rst_c, masks_c, sel_dev, put)
+                            continue
 
                         def take0(a, sel_dev=sel_dev):
                             return put(jnp.take(a, sel_dev, axis=0))
@@ -846,6 +864,103 @@ def fold_ensemble(npz: dict, seq: str, key: jax.Array, n_decoys: int = 1,
     t = tp[:, :, :L_true]
     if L_true < L:
         atoms = {k: v[:, :L_true] for k, v in atoms.items()}
+    return FoldResult(torsions=t, energy=f, atoms=atoms)
+
+
+def fold_chains_pool(pool: dict, lane_map, seq: str, key: jax.Array,
+                     mode: int = 2, use_orient: bool = True,
+                     fastrelax: bool = True, pcut: Optional[float] = None,
+                     params: FoldParams = FoldParams(),
+                     max_iter: int = 1000, candidates: int = 1,
+                     detect_disulf: bool = True,
+                     bucket_floors: Optional[dict] = None,
+                     cart_refine: bool = True,
+                     lane_bucket: Optional[int] = None,
+                     res_mask=None,
+                     true_len: Optional[int] = None,
+                     x0: Optional[jnp.ndarray] = None) -> FoldResult:
+    """fold_chains over a DEVICE-RESIDENT histogram pool (VERDICT r4
+    items 2+3): the dynamics sampler's per-step restraint tables are built
+    on device by physics.tablegen (shared union pair list + per-lane
+    tables, compact.UnionRestraints) instead of host numpy compilation —
+    the dampened histograms never round-trip through the host, and atom
+    selection runs as one MXU-efficient batched matmul instead of C
+    per-lane matmuls at N=9.
+
+    Args:
+      pool: dict with 'dist'/'omega'/'theta'/'phi' lane-stacked
+        (U, L, L, nbins) histograms (device arrays; the driver's chain
+        state). Already padded if length bucketing is in use — pass
+        res_mask/true_len accordingly.
+      lane_map: (K,) int array, chain k folds from pool row lane_map[k].
+      candidates/lane_bucket/bucket_floors: fold_chains semantics (best-of
+        lanes per chain, fixed program-shape bucketing, pair-bucket
+        ratchet — the floors dict uses the same {"all": {term: P}} layout).
+      true_len: slice outputs back to this length (pad_to counterpart).
+
+    The host sees only: 4 pair counts (bucket sizing), the per-chain
+    energies (candidate pick), and the final decoys. Mode 3 / idp / gpcr
+    targets use the host fold_chains path (the device compiler supports
+    modes 0-2, no-idp restraints — the dynamics driver's production
+    space)."""
+    from trx2dy.physics.tablegen import union_compiler
+    from trx2dy.physics.compact import _bucket as _pair_bucket
+
+    L = len(seq)
+    lane_map = np.asarray(lane_map, np.int32)
+    K = len(lane_map)
+    reps = candidates if candidates > 1 else 1
+    fan = np.repeat(lane_map, reps)
+    n_real = len(fan)
+    if lane_bucket is not None and lane_bucket > n_real:
+        fan = np.concatenate(
+            [fan, np.full(lane_bucket - n_real, fan[-1], np.int32)])
+    C = len(fan)
+
+    comp = union_compiler(seq, params, mode, pcut, use_orient,
+                          detect_disulf)
+    counts = np.asarray(comp.count(pool))
+    fl = (bucket_floors.setdefault("all", {})
+          if bucket_floors is not None else {})
+    names = ("dist", "omega", "theta", "phi")
+    P = tuple(max(_pair_bucket(int(c)), fl.get(n, 0))
+              for n, c in zip(names, counts))
+    for n, p_t in zip(names, P):
+        fl[n] = max(fl.get(n, 0), p_t)
+
+    ur, stage_acts, r1_acts, r2_acts = comp.compile(
+        pool, jnp.asarray(fan), P)
+
+    if x0 is None:
+        x0 = random_torsions(key, L, C)
+    elif x0.shape[0] < C:
+        x0 = jnp.concatenate(
+            [x0, jnp.broadcast_to(x0[-1:],
+                                  (C - x0.shape[0],) + x0.shape[1:])])
+    x0 = x0.reshape(C, 3 * L)
+
+    x, f = _protocol_staged(x0, ur, stage_acts, r1_acts, r2_acts,
+                            fastrelax=fastrelax, max_iter=max_iter,
+                            dist_on_ca=False, multi_rst=True,
+                            res_mask=res_mask,
+                            cart_r1=cart_refine and fastrelax)
+    t_all = x.reshape(C, 3, L)
+    atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t_all)
+    if cart_refine and fastrelax:
+        from trx2dy.physics.cartmin import cartesian_refine_lanes
+        atoms, _ = cartesian_refine_lanes(atoms, (ur, r2_acts),
+                                          SCOREFXN_RELAX, max_iter=200,
+                                          res_mask=res_mask)
+    if reps > 1:
+        f_np = np.asarray(f)[:n_real].reshape(K, reps)
+        pick = np.arange(K) * reps + np.argmin(f_np, axis=1)
+    else:
+        pick = np.arange(K)
+    pick_dev = jnp.asarray(pick)
+    L_true = L if true_len is None else true_len
+    t = t_all[pick_dev][:, :, :L_true]
+    f = f[pick_dev]
+    atoms = {k: v[pick_dev][:, :L_true] for k, v in atoms.items()}
     return FoldResult(torsions=t, energy=f, atoms=atoms)
 
 
