@@ -502,6 +502,13 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     fold per step (each lane with its own restraint tables), and overlap
     all file IO with the next step's device work.
 
+    The chain state (dampened histograms) is DEVICE-RESIDENT for the whole
+    run: each step is fold (fold_chains_pool — restraint tables built on
+    device from the histograms, physics/tablegen.py) -> measure+dampen
+    (_chain_update_batch) with no host round trip. The host sees only the
+    per-step convergence deltas/energies and the decoys; the tmp_npz
+    resume contract is written asynchronously from device snapshots.
+
     File contracts per stream match the serial sampler (initial{i}.pdb,
     <name>{k}.pdb, tmp_npz <name>{k}.npz with k continuing across
     streams). Streams whose begin index depends on an unfinished earlier
@@ -516,6 +523,13 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     K = cfg.n_chains
     N = cfg.init_num
     C = M * K
+    L_true = len(seq)
+    pad_to = None
+    if cfg.len_bucket:
+        pad_to = -(-L_true // cfg.len_bucket) * cfg.len_bucket
+    padded = pad_to is not None and pad_to > L_true
+    seq_fold = seq + "A" * (pad_to - L_true) if padded else seq
+    res_mask = jnp.arange(len(seq_fold)) < L_true if padded else None
     for s in streams:
         os.makedirs(s.npz_dir, exist_ok=True)
         os.makedirs(s.pdb_dir, exist_ok=True)
@@ -527,9 +541,16 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                     os.remove(os.path.join(d, f))
     io = _AsyncIO()
 
-    def hist_npz(h: GeomHistograms) -> dict:
-        return {"dist": h.dist, "omega": h.omega, "theta": h.theta,
-                "phi": h.phi}
+    def _pad_hist(h: GeomHistograms) -> GeomHistograms:
+        # pad ONCE at load; the whole run (fold, measure, dampen) works at
+        # the padded length — zero histograms never activate restraints and
+        # stay zero through dampening, res_mask zeroes every physics term
+        if not padded:
+            return h
+        p = pad_to - L_true
+        return GeomHistograms(*[
+            jnp.asarray(np.pad(np.asarray(v), [(0, p), (0, p), (0, 0)]))
+            for v in h])
 
     if cfg.emit_full_atom:
         from trx2dy.io.pdbio import write_pdb_atom14
@@ -539,6 +560,9 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
         """Write the decoys of the given lanes; sidechain packing (when
         full-atom output is on) runs ONLY over the written lanes.
 
+        fr carries PADDED-length tensors (length bucketing); everything
+        here slices back to the true length at the host boundary.
+
         Packing runs in fixed-size batches of PACK_CHUNK lanes (last batch
         padded by repetition) so the initial emit (M*N lanes) and every
         chain step (however many lanes its budget writes) share ONE
@@ -546,8 +570,9 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
         would otherwise trace + load its own copy over the TPU tunnel."""
         if cfg.emit_full_atom:
             from trx2dy.physics.sidechain import detect_disulfides
-            t_np = np.asarray(fr.torsions)
-            bb_np = {k: np.asarray(v) for k, v in fr.atoms.items()}
+            t_np = np.asarray(fr.torsions)[:, :, :L_true]
+            bb_np = {k: np.asarray(v)[:, :L_true]
+                     for k, v in fr.atoms.items()}
             # one disulfide pairing for the whole written set (ensemble-mean
             # CB, pack_ensemble's own rule) — per-chunk detection could
             # disagree across chunks of one ensemble
@@ -566,28 +591,35 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                 for j, path in enumerate(sub_paths):
                     io.submit(write_pdb_atom14, path, seq, xyz14[j], mask14)
         else:
-            atoms_np = {a: np.asarray(v) for a, v in fr.atoms.items()}
+            atoms_np = {a: np.asarray(v)[:, :L_true]
+                        for a, v in fr.atoms.items()}
             for j, (lane, path) in enumerate(zip(lanes, paths)):
                 io.submit(write_pdb_backbone, path, seq,
                           {a: v[lane] for a, v in atoms_np.items()})
 
-    pad_to = None
-    if cfg.len_bucket:
-        pad_to = -(-len(seq) // cfg.len_bucket) * cfg.len_bucket
+    # ---- device-resident chain state ------------------------------------
+    # chain (i, k) lives at pool row i*K + k; at init every chain of stream
+    # i holds the stream's predicted histograms, so the initial ensembles
+    # fold from lane_map entries pointing at row i*K
+    chains = _stack_hists([_pad_hist(s.hist)
+                           for s in streams for _ in range(K)])
+
+    def pool_dict():
+        return {f: getattr(chains, f)
+                for f in ("dist", "omega", "theta", "phi")}
 
     # ---- initial ensembles: ONE chains-path fold for all streams --------
-    # Each stream's initial lanes share one histogram set, which fold_chains
-    # content-dedups to M unique table compilations; the lane_bucket makes
-    # this call reuse the SAME compiled stage-program shapes as every chain
-    # step below, so the whole pipeline traces + loads ONE program family
-    # per process (the separate fold_ensemble family previously cost ~180 s
-    # of jit tracing + executable loads over the remote-TPU tunnel before
-    # the first decoy came back).
-    stream_npzs = [hist_npz(s.hist) for s in streams]
+    # The lane_bucket makes this call reuse the SAME compiled stage-program
+    # shapes as every chain step below, so the whole pipeline traces +
+    # loads ONE program family per process (the separate fold_ensemble
+    # family previously cost ~180 s of jit tracing + executable loads over
+    # the remote-TPU tunnel before the first decoy came back).
     # pair-bucket ratchet: ONE compiled shape per fold program across all
     # dampening steps (mask drift otherwise recompiles minutes per step)
     floors: dict = {}
-    from trx2dy.physics.folder import FoldResult, fold_chains, _bucket_size
+    from trx2dy.physics.folder import (
+        FoldResult, fold_chains_pool, _bucket_size,
+    )
     n_init = int(np.ceil(N * (1.0 + cfg.oversample)))
     cand = cfg.chain_candidates
     lane_bucket = _bucket_size(max(M * n_init, C * cand))
@@ -597,12 +629,13 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
         cand = lane_bucket // C
     t0 = time.perf_counter()
     key, k_init = jax.random.split(key)
-    init_npzs = [stream_npzs[i] for i in range(M) for _ in range(n_init)]
-    fr_all = fold_chains(init_npzs, seq, k_init, mode=cfg.mode,
-                         use_orient=cfg.angle, fastrelax=cfg.fastrelax,
-                         max_iter=cfg.max_iter, candidates=1,
-                         bucket_floors=floors, pad_to=pad_to,
-                         lane_bucket=lane_bucket, **cfg.fold_kwargs)
+    init_map = [i * K for i in range(M) for _ in range(n_init)]
+    fr_all = fold_chains_pool(pool_dict(), init_map, seq_fold, k_init,
+                              mode=cfg.mode, use_orient=cfg.angle,
+                              fastrelax=cfg.fastrelax,
+                              max_iter=cfg.max_iter, candidates=1,
+                              bucket_floors=floors, res_mask=res_mask,
+                              lane_bucket=lane_bucket, **cfg.fold_kwargs)
     # per-stream energy gating (fold_ensemble's oversample semantics):
     # keep each stream's N lowest-energy lanes, in energy order
     e_all = np.asarray(fr_all.energy)
@@ -623,7 +656,8 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     write_decoys(fr, init_lanes, init_paths)
     trace.write(kind="phase", step="initial", t_fold=round(t_fold, 3),
                 t_emit=round(time.perf_counter() - t0, 3))
-    scores = np.asarray(jax.vmap(reliability_score)(fr.torsions))
+    scores = np.asarray(
+        jax.vmap(reliability_score)(fr.torsions[:, :, :L_true]))
     e_np = np.asarray(fr.energy)
 
     # chain (i, k) seeds from stream i's k-th most reliable initial decoy
@@ -636,15 +670,14 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                         reliability=float(scores[i * N + j]),
                         selected_seed=bool(j in order))
         seed_lanes += [i * N + int(order[k % len(order)]) for k in range(K)]
-    seed_lanes = np.asarray(seed_lanes)
+    seed_dev = jnp.asarray(np.asarray(seed_lanes))
 
-    base = _stack_hists([s.hist for s in streams for _ in range(K)])
     a = fr.atoms
     chains, _ = _chain_update_batch(
-        base, jnp.asarray(np.asarray(a["N"])[seed_lanes]),
-        jnp.asarray(np.asarray(a["CA"])[seed_lanes]),
-        jnp.asarray(np.asarray(a["C"])[seed_lanes]),
-        jnp.asarray(np.asarray(a["CB"])[seed_lanes]),
+        chains, jnp.take(a["N"], seed_dev, axis=0),
+        jnp.take(a["CA"], seed_dev, axis=0),
+        jnp.take(a["C"], seed_dev, axis=0),
+        jnp.take(a["CB"], seed_dev, axis=0),
         jnp.ones((C,), bool), cfg.sigma, cfg.angle)
 
     # begin indices: stream 0 is known now; later streams resolve when the
@@ -672,16 +705,20 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
         renames.append((path, i, k, ".pdb"))
         return path
 
-    def save_hist_npz(path, hist_np):
+    def save_hist_npz(path, chains_snapshot, c):
         # exact reference key set (tmp_npz layout is a parity surface);
-        # chain provenance lives in traces.jsonl instead
-        np.savez_compressed(path, **hist_np)
+        # chain provenance lives in traces.jsonl instead. Runs on the IO
+        # pool: the device->host transfer of this chain's histograms
+        # overlaps the next step's fold instead of serializing with it
+        # (the snapshot pins the step's device buffers until written).
+        arrs = {}
+        for f in GeomHistograms._fields:
+            a = np.asarray(getattr(chains_snapshot, f)[c])
+            arrs[f] = a[:L_true, :L_true] if padded else a
+        np.savez_compressed(path, **arrs)
 
-    chains_np = {f: np.asarray(getattr(chains, f))
-                 for f in GeomHistograms._fields}
     for i in range(M):
-        io.submit(save_hist_npz, npz_name(i, 1),
-                  {f: chains_np[f][i * K] for f in GeomHistograms._fields})
+        io.submit(save_hist_npz, npz_name(i, 1), chains, i * K)
 
     # ---- the batched sampling loop -------------------------------------
     try:
@@ -695,18 +732,16 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
             if not writing.any():
                 break
             key, k_it = jax.random.split(key)
-            npzs = [{f: chains_np[f][c]
-                     for f in ("dist", "omega", "theta", "phi")}
-                    for c in range(C)]
             t0 = time.perf_counter()
-            fr = fold_chains(npzs, seq, k_it, mode=cfg.mode,
-                             use_orient=cfg.angle,
-                             fastrelax=cfg.fastrelax,
-                             max_iter=cfg.max_iter,
-                             candidates=cand,
-                             bucket_floors=floors, pad_to=pad_to,
-                             lane_bucket=lane_bucket,
-                             **cfg.fold_kwargs)
+            fr = fold_chains_pool(pool_dict(), np.arange(C), seq_fold,
+                                  k_it, mode=cfg.mode,
+                                  use_orient=cfg.angle,
+                                  fastrelax=cfg.fastrelax,
+                                  max_iter=cfg.max_iter,
+                                  candidates=cand,
+                                  bucket_floors=floors, res_mask=res_mask,
+                                  lane_bucket=lane_bucket,
+                                  **cfg.fold_kwargs)
             jax.block_until_ready(fr.atoms["CA"])
             t_fold = time.perf_counter() - t0
 
@@ -730,10 +765,8 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
             chains, delta = _chain_update_batch(
                 chains, a["N"], a["CA"], a["C"], a["CB"],
                 jnp.asarray(adv), cfg.sigma, cfg.angle)
-            delta_np = np.asarray(delta)
-            chains_np = {f: np.asarray(getattr(chains, f))
-                         for f in GeomHistograms._fields}
-            e_np = np.asarray(fr.energy)
+            delta_np = np.asarray(delta)       # (C,) — the only per-step
+            e_np = np.asarray(fr.energy)       # host pulls besides decoys
             trace.write(kind="phase", step=max(produced),
                         t_fold=round(t_fold, 3), t_emit=round(t_emit, 3),
                         t_measure=round(time.perf_counter() - t0, 3))
@@ -744,8 +777,7 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                     # BEFORE saving, so the resume tree ends at index Nmax
                     # — don't save a trailing Nmax+1 state here either
                     io.submit(save_hist_npz, npz_name(i, num + 1),
-                              {f: chains_np[f][c]
-                               for f in GeomHistograms._fields})
+                              chains, c)
                 trace.write(decoy=f"{pdb_name}{num}", kind="chain",
                             model=streams[i].tag, chain=k,
                             energy=float(e_np[c]), delta=float(delta_np[c]))
