@@ -630,12 +630,14 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     t0 = time.perf_counter()
     key, k_init = jax.random.split(key)
     init_map = [i * K for i in range(M) for _ in range(n_init)]
+    tm_fold: dict = {}
     fr_all = fold_chains_pool(pool_dict(), init_map, seq_fold, k_init,
                               mode=cfg.mode, use_orient=cfg.angle,
                               fastrelax=cfg.fastrelax,
                               max_iter=cfg.max_iter, candidates=1,
                               bucket_floors=floors, res_mask=res_mask,
-                              lane_bucket=lane_bucket, **cfg.fold_kwargs)
+                              lane_bucket=lane_bucket, timings=tm_fold,
+                              **cfg.fold_kwargs)
     # per-stream energy gating (fold_ensemble's oversample semantics):
     # keep each stream's N lowest-energy lanes, in energy order
     e_all = np.asarray(fr_all.energy)
@@ -655,7 +657,7 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
     t0 = time.perf_counter()
     write_decoys(fr, init_lanes, init_paths)
     trace.write(kind="phase", step="initial", t_fold=round(t_fold, 3),
-                t_emit=round(time.perf_counter() - t0, 3))
+                t_emit=round(time.perf_counter() - t0, 3), **tm_fold)
     scores = np.asarray(
         jax.vmap(reliability_score)(fr.torsions[:, :, :L_true]))
     e_np = np.asarray(fr.energy)
@@ -733,6 +735,7 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                 break
             key, k_it = jax.random.split(key)
             t0 = time.perf_counter()
+            tm_fold = {}
             fr = fold_chains_pool(pool_dict(), np.arange(C), seq_fold,
                                   k_it, mode=cfg.mode,
                                   use_orient=cfg.angle,
@@ -740,7 +743,7 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                                   max_iter=cfg.max_iter,
                                   candidates=cand,
                                   bucket_floors=floors, res_mask=res_mask,
-                                  lane_bucket=lane_bucket,
+                                  lane_bucket=lane_bucket, timings=tm_fold,
                                   **cfg.fold_kwargs)
             jax.block_until_ready(fr.atoms["CA"])
             t_fold = time.perf_counter() - t0
@@ -769,7 +772,8 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
             e_np = np.asarray(fr.energy)       # host pulls besides decoys
             trace.write(kind="phase", step=max(produced),
                         t_fold=round(t_fold, 3), t_emit=round(t_emit, 3),
-                        t_measure=round(time.perf_counter() - t0, 3))
+                        t_measure=round(time.perf_counter() - t0, 3),
+                        **tm_fold)
             for (i, k, num) in rows:
                 c = i * K + k
                 if num < cfg.Nmax:

@@ -346,6 +346,12 @@ def _protocol_jit(x0, rst, stage_masks, relax1_masks, relax2_masks,
 # keeping host round trips negligible
 STAGE_CHUNK = 250
 
+# pair-bucket headroom for FRESH dynamics runs (fold_chains_pool): size the
+# first fold's buckets for the run's measured activation growth so the
+# ratchet never fires mid-run (each firing re-mints every stage-program
+# shape: compiles + executable loads over the remote-TPU tunnel)
+GROWTH_HEADROOM = 1.15
+
 # batch compaction: once the active lanes of a stage fit in half the current
 # batch, repack them into the next power-of-2 bucket so drained lanes stop
 # burning compute/HBM (the fix for the measured B=100 batch-drain collapse).
@@ -878,7 +884,8 @@ def fold_chains_pool(pool: dict, lane_map, seq: str, key: jax.Array,
                      lane_bucket: Optional[int] = None,
                      res_mask=None,
                      true_len: Optional[int] = None,
-                     x0: Optional[jnp.ndarray] = None) -> FoldResult:
+                     x0: Optional[jnp.ndarray] = None,
+                     timings: Optional[dict] = None) -> FoldResult:
     """fold_chains over a DEVICE-RESIDENT histogram pool (VERDICT r4
     items 2+3): the dynamics sampler's per-step restraint tables are built
     on device by physics.tablegen (shared union pair list + per-lane
@@ -917,19 +924,35 @@ def fold_chains_pool(pool: dict, lane_map, seq: str, key: jax.Array,
             [fan, np.full(lane_bucket - n_real, fan[-1], np.int32)])
     C = len(fan)
 
+    import time as _time
+    tm = {} if timings is None else timings
+    t0 = _time.perf_counter()
     comp = union_compiler(seq, params, mode, pcut, use_orient,
                           detect_disulf)
     counts = np.asarray(comp.count(pool))
+    tm["t_counts"] = round(_time.perf_counter() - t0, 3)
     fl = (bucket_floors.setdefault("all", {})
           if bucket_floors is not None else {})
     names = ("dist", "omega", "theta", "phi")
-    P = tuple(max(_pair_bucket(int(c)), fl.get(n, 0))
-              for n, c in zip(names, counts))
+    # Fresh floors get GROWTH_HEADROOM over the initial counts: dampening
+    # renorm+smooth pushes a few more pairs over the activation cutoffs as
+    # the run progresses (measured +1.5-9% over a full Nmax=40 example
+    # run), and without headroom the first count past a bucket boundary
+    # re-mints every stage-program shape mid-run (~20-40 s of compiles +
+    # executable loads over the tunnel).
+    P = tuple(
+        max(_pair_bucket(int(np.ceil(c * (1.0 if n in fl else
+                                          GROWTH_HEADROOM)))),
+            fl.get(n, 0))
+        for n, c in zip(names, counts))
     for n, p_t in zip(names, P):
         fl[n] = max(fl.get(n, 0), p_t)
 
+    t0 = _time.perf_counter()
     ur, stage_acts, r1_acts, r2_acts = comp.compile(
         pool, jnp.asarray(fan), P)
+    jax.block_until_ready(ur.dist.y)
+    tm["t_tables"] = round(_time.perf_counter() - t0, 3)
 
     if x0 is None:
         x0 = random_torsions(key, L, C)
@@ -939,18 +962,24 @@ def fold_chains_pool(pool: dict, lane_map, seq: str, key: jax.Array,
                                   (C - x0.shape[0],) + x0.shape[1:])])
     x0 = x0.reshape(C, 3 * L)
 
+    t0 = _time.perf_counter()
     x, f = _protocol_staged(x0, ur, stage_acts, r1_acts, r2_acts,
                             fastrelax=fastrelax, max_iter=max_iter,
                             dist_on_ca=False, multi_rst=True,
                             res_mask=res_mask,
                             cart_r1=cart_refine and fastrelax)
+    jax.block_until_ready(x)
+    tm["t_protocol"] = round(_time.perf_counter() - t0, 3)
     t_all = x.reshape(C, 3, L)
     atoms = jax.vmap(lambda tt: build_backbone(tt[0], tt[1], tt[2]))(t_all)
     if cart_refine and fastrelax:
+        t0 = _time.perf_counter()
         from trx2dy.physics.cartmin import cartesian_refine_lanes
         atoms, _ = cartesian_refine_lanes(atoms, (ur, r2_acts),
                                           SCOREFXN_RELAX, max_iter=200,
                                           res_mask=res_mask)
+        jax.block_until_ready(atoms["CA"])
+        tm["t_cart"] = round(_time.perf_counter() - t0, 3)
     if reps > 1:
         f_np = np.asarray(f)[:n_real].reshape(K, reps)
         pick = np.arange(K) * reps + np.argmin(f_np, axis=1)
