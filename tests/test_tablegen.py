@@ -51,8 +51,10 @@ def _compiled(npzs, seq, mode=2, detect_disulf=False):
     comp = union_compiler(seq, FoldParams(), mode, None, True,
                           detect_disulf)
     pool = _pool(npzs)
-    counts = np.asarray(comp.count(pool))
-    P = tuple(_bucket(int(c)) for c in counts)
+    count_rows = np.asarray(comp.count(pool))
+    assert count_rows.shape == (2, 4)
+    assert (count_rows[1] >= count_rows[0]).all()   # proxy grows the set
+    P = tuple(_bucket(int(c)) for c in count_rows[0])
     lane_map = jnp.arange(len(npzs), dtype=jnp.int32)
     return comp.compile(pool, lane_map, P)
 

@@ -744,6 +744,7 @@ def _generate_chains_multi(pdb_name: str, streams, seq: str,
                                   candidates=cand,
                                   bucket_floors=floors, res_mask=res_mask,
                                   lane_bucket=lane_bucket, timings=tm_fold,
+                                  growth_buckets=True,
                                   **cfg.fold_kwargs)
             jax.block_until_ready(fr.atoms["CA"])
             t_fold = time.perf_counter() - t0

@@ -346,11 +346,13 @@ def _protocol_jit(x0, rst, stage_masks, relax1_masks, relax2_masks,
 # keeping host round trips negligible
 STAGE_CHUNK = 250
 
-# pair-bucket headroom for FRESH dynamics runs (fold_chains_pool): size the
-# first fold's buckets for the run's measured activation growth so the
-# ratchet never fires mid-run (each firing re-mints every stage-program
-# shape: compiles + executable loads over the remote-TPU tunnel)
-GROWTH_HEADROOM = 1.15
+# residual pair-bucket margin for FRESH dynamics runs (fold_chains_pool),
+# applied on top of the dampening-proxy count (tablegen.count_fn row 1):
+# the proxy models one full dampening step; later steps drift ~1% more
+# (measured), so a small margin keeps the ratchet from ever firing
+# mid-run (each firing re-mints every stage-program shape: compiles +
+# executable loads over the remote-TPU tunnel)
+GROWTH_HEADROOM = 1.08
 
 # batch compaction: once the active lanes of a stage fit in half the current
 # batch, repack them into the next power-of-2 bucket so drained lanes stop
@@ -534,10 +536,12 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                      fastrelax: bool, max_iter: int, dist_on_ca: bool,
                      multi_rst: bool = False, remat: bool = False,
                      res_mask=None, cart_r1: bool = False,
-                     pack_args=None):
+                     pack_args=None, stage_log: Optional[list] = None):
     """Host-orchestrated protocol over chunked compiled stage programs.
 
-    multi_rst: rst/mask leaves carry a leading per-decoy axis (chain mode)."""
+    multi_rst: rst/mask leaves carry a leading per-decoy axis (chain mode).
+    stage_log (optional): appended with (label, iterations_run, wall_s)
+    per stage call — the profiling surface for protocol cost accounting."""
     B = x0.shape[0]
     put, dp = _batch_sharder(x0)
     no_freeze = put(jnp.zeros((B,), bool))
@@ -582,7 +586,10 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
     relax1_args = _as_arg(relax1_masks)
     relax2_args = _as_arg(relax2_masks)
 
-    def stage(x, rst_masks, w, freeze=no_freeze, iters=None):
+    def stage(x, rst_masks, w, freeze=no_freeze, iters=None,
+              label="stage"):
+        import time as _time
+        t_st = _time.perf_counter()
         rst_a, masks = rst_masks
         iters = max_iter if iters is None else iters
         B0 = x.shape[0]
@@ -629,6 +636,9 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                         rst_c = jax.tree.map(take0, rst_c)
                         masks_c = jax.tree.map(take0, masks_c)
         x_full[lane] = np.asarray(st.x)
+        if stage_log is not None:
+            stage_log.append((label, int(np.asarray(st.k)),
+                              round(_time.perf_counter() - t_st, 3)))
         return put(x_full)
 
     def vdw_scores(x):
@@ -646,7 +656,7 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
             if not active.any():
                 break
             x = stage(x, rst_masks, w_min, freeze=put(~active),
-                      iters=iters)
+                      iters=iters, label="clash")
         return x
 
     # initial clash removal: vdw-only weights, restraint weights zeroed
@@ -656,12 +666,13 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
         active = np.asarray(vdw_scores(x)) >= CLASH_SCORE_CUTOFF
         if not active.any():
             break
-        x = stage(x, stage_args[0], w_vdw, freeze=put(~active), iters=500)
+        x = stage(x, stage_args[0], w_vdw, freeze=put(~active), iters=500,
+                  label="clash0")
 
     for sa in stage_args:
         for _ in range(3):
-            x = stage(x, sa, w_cent)
-        x = stage(x, sa, w_cart)
+            x = stage(x, sa, w_cent, label="cent")
+        x = stage(x, sa, w_cart, label="cart")
         x = remove_clash(x, w_sf1, sa, max_iter)
     if fastrelax:
         def full_f(xx, rst_masks):
@@ -701,7 +712,8 @@ def _protocol_staged(x0, rst, stages, relax1_masks, relax2_masks,
                     if repack:
                         x = fa_stage(x, rst_masks, w, iters)
                     else:
-                        x = stage(x, rst_masks, w, iters=iters)
+                        x = stage(x, rst_masks, w, iters=iters,
+                                  label="relax")
                 f = full_f(x, rst_masks)            # accept_to_best
                 best_x = jnp.where(put(f < best_f)[:, None], x, best_x)
                 best_f = np.minimum(f, best_f)
@@ -885,7 +897,9 @@ def fold_chains_pool(pool: dict, lane_map, seq: str, key: jax.Array,
                      res_mask=None,
                      true_len: Optional[int] = None,
                      x0: Optional[jnp.ndarray] = None,
-                     timings: Optional[dict] = None) -> FoldResult:
+                     timings: Optional[dict] = None,
+                     stage_log: Optional[list] = None,
+                     growth_buckets: bool = False) -> FoldResult:
     """fold_chains over a DEVICE-RESIDENT histogram pool (VERDICT r4
     items 2+3): the dynamics sampler's per-step restraint tables are built
     on device by physics.tablegen (shared union pair list + per-lane
@@ -929,17 +943,19 @@ def fold_chains_pool(pool: dict, lane_map, seq: str, key: jax.Array,
     t0 = _time.perf_counter()
     comp = union_compiler(seq, params, mode, pcut, use_orient,
                           detect_disulf)
-    counts = np.asarray(comp.count(pool))
+    count_rows = np.asarray(comp.count(pool))
+    counts = count_rows[1] if growth_buckets else count_rows[0]
     tm["t_counts"] = round(_time.perf_counter() - t0, 3)
     fl = (bucket_floors.setdefault("all", {})
           if bucket_floors is not None else {})
     names = ("dist", "omega", "theta", "phi")
-    # Fresh floors get GROWTH_HEADROOM over the initial counts: dampening
-    # renorm+smooth pushes a few more pairs over the activation cutoffs as
-    # the run progresses (measured +1.5-9% over a full Nmax=40 example
-    # run), and without headroom the first count past a bucket boundary
-    # re-mints every stage-program shape mid-run (~20-40 s of compiles +
-    # executable loads over the tunnel).
+    # growth_buckets=True (the driver's chain steps) sizes from the
+    # dampening-proxy counts (tablegen.count_fn row 1) so the shapes the
+    # chain steps compile already cover the run's activation growth; the
+    # initial fold keeps the as-given counts (row 0) and so never pays the
+    # post-dampening workload. GROWTH_HEADROOM covers the residual
+    # multi-step drift (measured ~1%); the floors ratchet stays as the
+    # correctness backstop when a run outgrows even that.
     P = tuple(
         max(_pair_bucket(int(np.ceil(c * (1.0 if n in fl else
                                           GROWTH_HEADROOM)))),
@@ -967,7 +983,8 @@ def fold_chains_pool(pool: dict, lane_map, seq: str, key: jax.Array,
                             fastrelax=fastrelax, max_iter=max_iter,
                             dist_on_ca=False, multi_rst=True,
                             res_mask=res_mask,
-                            cart_r1=cart_refine and fastrelax)
+                            cart_r1=cart_refine and fastrelax,
+                            stage_log=stage_log)
     jax.block_until_ready(x)
     tm["t_protocol"] = round(_time.perf_counter() - t0, 3)
     t_all = x.reshape(C, 3, L)

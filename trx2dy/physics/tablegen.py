@@ -165,17 +165,47 @@ def _build_compiler(seq: str, params: FoldParams, mode: int, pcut: float,
         pr["dist"] = jnp.where(ss, 1.0, pr["dist"])
         return pr, ss
 
+    def _dampen_proxy(p):
+        """One worst-case dampening step (decay the modal bin of every
+        maskable pair by the default rate, renormalize, smooth) — the three
+        channels that grow the activation set across a dynamics run. Used
+        only to SIZE the chain-step pair buckets: the actual masks always
+        come from the real histograms."""
+        from trx2dy.dynamics.dampen import gaussian_smooth_bins
+        nb = p.shape[-1]
+        masked = jnp.max(p, axis=-1) < 0.5
+        oh = jax.nn.one_hot(jnp.argmax(p, axis=-1), nb, dtype=p.dtype)
+        dec = jnp.where((oh > 0) & masked[..., None], p * 0.5, p)
+        ssum = jnp.sum(dec, axis=-1, keepdims=True)
+        dec = dec / jnp.where(ssum == 0, 1.0, ssum)
+        sm = gaussian_smooth_bins(dec, 1.0)
+        ssum = jnp.sum(sm, axis=-1, keepdims=True)
+        sm = sm / jnp.where(ssum == 0, 1.0, ssum)
+        return jnp.where(masked[..., None], sm, p)
+
     @jax.jit
     def count_fn(pool: dict) -> jnp.ndarray:
-        """(4,) int32 union-over-lanes active-pair counts (dist, omega,
-        theta, phi) — sizes the static pair buckets before compile_fn."""
+        """(2, 4) int32 union-over-lanes active-pair counts per term
+        (dist, omega, theta, phi): row 0 = the histograms as given, row 1
+        = union with a one-step dampening proxy (_dampen_proxy). Row 1
+        sizes the CHAIN-STEP buckets so dampening-driven activation growth
+        never re-mints program shapes mid-run; row 0 sizes the initial
+        fold, which should not pay the post-dampening workload."""
         pr, _ = probs_and_ss(pool)
-        out = []
+        if use_orient:
+            pool_d = {k: _dampen_proxy(pool[k]) for k in pool}
+        else:
+            pool_d = {"dist": _dampen_proxy(pool["dist"])}
+        pr_d, _ = probs_and_ss({**pool, **pool_d})
+        raw, grown = [], []
         for name, off, kind in _TERMS:
-            m = jnp.any(pr[name] >= union_cut + off, axis=0)
-            m = m & jnp.asarray(tri[kind] & (sep >= 1))
-            out.append(jnp.sum(m, dtype=jnp.int32))
-        return jnp.stack(out)
+            base = jnp.asarray(tri[kind] & (sep >= 1))
+            m = jnp.any(pr[name] >= union_cut + off, axis=0) & base
+            md = m | (jnp.any(pr_d[name] >= union_cut + off, axis=0)
+                      & base)
+            raw.append(jnp.sum(m, dtype=jnp.int32))
+            grown.append(jnp.sum(md, dtype=jnp.int32))
+        return jnp.stack([jnp.stack(raw), jnp.stack(grown)])
 
     def _tables_at_pairs(pool, name, flat):
         """(U, P, K) -log-ratio spline values at the gathered pairs —
